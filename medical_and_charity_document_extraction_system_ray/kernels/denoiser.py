@@ -1,0 +1,151 @@
+"""Denoising kernels.
+
+Same semantics as the reference's ``ImageDenoiser``
+(``backend/app/core/image_processors/denoiser.py``): string dispatch
+with ``auto`` picking by a Laplacian-variance noise estimate
+(> 15 -> bilateral, > 8 -> median, else gaussian k=3 —
+``denoiser.py:37-65``).  Pure-numpy implementations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ops import dilate3, erode3, gaussian_blur, laplacian_variance, median3, to_gray
+
+
+def denoise(image: np.ndarray, method: str = "auto") -> np.ndarray:
+    if method == "gaussian":
+        return gaussian_denoise(image)
+    if method == "median":
+        return median_denoise(image)
+    if method == "bilateral":
+        return bilateral_denoise(image)
+    if method == "nlm":
+        return nlm_denoise(image)
+    if method == "morphology":
+        return morphological_denoise(image)
+    return _auto_denoise(image)
+
+
+def estimate_noise(gray: np.ndarray) -> float:
+    """Laplacian-variance noise proxy (denoiser.py:59-65)."""
+    return laplacian_variance(gray)
+
+
+def _auto_denoise(image: np.ndarray) -> np.ndarray:
+    gray = to_gray(image)
+    noise = estimate_noise(gray)
+    if noise > 15:
+        return bilateral_denoise(image)
+    if noise > 8:
+        return median_denoise(image)
+    return gaussian_denoise(image, kernel_size=3)
+
+
+def gaussian_denoise(
+    image: np.ndarray, kernel_size: int = 5, sigma: float = 0
+) -> np.ndarray:
+    if kernel_size % 2 == 0:
+        kernel_size += 1
+    return gaussian_blur(image, kernel_size, sigma if sigma > 0 else None)
+
+
+def median_denoise(image: np.ndarray, kernel_size: int = 5) -> np.ndarray:
+    if kernel_size % 2 == 0:
+        kernel_size += 1
+    # implemented as iterated 3x3 medians for k=5 (two passes approximate
+    # a 5x5 median; exact 5x5 windows would need 25-plane stacking)
+    out = median3(image)
+    if kernel_size >= 5:
+        out = median3(out)
+    return out
+
+
+def bilateral_denoise(
+    image: np.ndarray, d: int = 9, sigma_color: float = 75, sigma_space: float = 75
+) -> np.ndarray:
+    """Bilateral filter: gaussian space weight x gaussian range weight,
+    vectorized as a sum over the (d x d) shift lattice."""
+    gray = to_gray(image).astype(np.float64)
+    r = d // 2
+    src = np.pad(gray, r, mode="reflect")
+    h, w = gray.shape
+    num = np.zeros((h, w), dtype=np.float64)
+    den = np.zeros((h, w), dtype=np.float64)
+    inv2_sc = 1.0 / (2.0 * sigma_color**2)
+    inv2_ss = 1.0 / (2.0 * sigma_space**2)
+    for di in range(d):
+        for dj in range(d):
+            shifted = src[di : di + h, dj : dj + w]
+            sw = np.exp(-((di - r) ** 2 + (dj - r) ** 2) * inv2_ss)
+            rw = np.exp(-((shifted - gray) ** 2) * inv2_sc)
+            wgt = sw * rw
+            num += wgt * shifted
+            den += wgt
+    return np.clip(num / den + 0.5, 0, 255).astype(np.uint8)
+
+
+def nlm_denoise(
+    image: np.ndarray,
+    h: float = 10,
+    template_size: int = 7,
+    search_size: int = 21,
+) -> np.ndarray:
+    """Non-local means, shift-vectorized approximation: patch distances
+    are gaussian-smoothed pointwise squared differences per shift (the
+    standard fast-NLM construction).  The search window is capped at
+    11x11 for tractability without cv2's SIMD path; only reachable via
+    an explicit ``method="nlm"`` (never from ``auto``)."""
+    gray = to_gray(image).astype(np.float64)
+    search = min(search_size, 11)
+    r = search // 2
+    src = np.pad(gray, r, mode="reflect")
+    hh, ww = gray.shape
+    num = np.zeros((hh, ww), dtype=np.float64)
+    den = np.zeros((hh, ww), dtype=np.float64)
+    inv_h2 = 1.0 / (h * h)
+    for di in range(search):
+        for dj in range(search):
+            shifted = src[di : di + hh, dj : dj + ww]
+            d2 = gaussian_blur(
+                np.clip((shifted - gray) ** 2 / 255.0, 0, 255).astype(np.uint8),
+                template_size,
+            ).astype(np.float64) * 255.0
+            wgt = np.exp(-d2 * inv_h2)
+            num += wgt * shifted
+            den += wgt
+    return np.clip(num / den + 0.5, 0, 255).astype(np.uint8)
+
+
+def morphological_denoise(image: np.ndarray, kernel_size: int = 3) -> np.ndarray:
+    """Open then close with a 3x3 rect element (denoiser.py:167-195)."""
+    gray = to_gray(image)
+    opened = dilate3(erode3(gray))
+    return erode3(dilate3(opened)).astype(np.uint8)
+
+
+def remove_salt_pepper(image: np.ndarray, kernel_size: int = 5) -> np.ndarray:
+    return median_denoise(image, kernel_size)
+
+
+def adaptive_denoise(image: np.ndarray, block_size: int = 64) -> np.ndarray:
+    """Blockwise auto-denoise: per 64-px block, estimate noise and apply
+    the matching filter (denoiser.py:213-236)."""
+    gray = to_gray(image)
+    out = gray.copy()
+    h, w = gray.shape
+    for i in range(0, h, block_size):
+        for j in range(0, w, block_size):
+            block = gray[i : i + block_size, j : j + block_size]
+            if block.size == 0:
+                continue
+            noise = estimate_noise(block)
+            if noise > 15:
+                fixed = bilateral_denoise(block, d=5, sigma_color=50, sigma_space=50)
+            elif noise > 8:
+                fixed = median_denoise(block, kernel_size=3)
+            else:
+                fixed = gaussian_blur(block, 3)
+            out[i : i + block_size, j : j + block_size] = fixed
+    return out

@@ -1,0 +1,89 @@
+"""The flagship pipeline: interleaved documents -> extracted documents.
+
+Ray-Data-first composition (SURVEY.md §7.1 steps 3-6):
+
+    read (Lance/Parquet)
+      -> map_batches(classify_and_explode, pyarrow, zero-copy)   [stateless]
+      -> map_batches(SpanExtractor, actor pool, warm OCR state)  [stateful]
+      -> groupby("doc_id") -> reassemble (per-group offset sort) [the shuffle]
+
+The streaming executor pipelines the stages with backpressure; nothing
+materializes the full dataset.  Scale knobs:
+
+- ``ocr_batch_size`` — spans per extractor call; page images are
+  resolved inside the actor, so a batch holds at most
+  ``batch_size`` decoded pages at once (media pages ~100 KB here;
+  300-DPI A4 would be ~25 MB -> drop batch size accordingly).
+- ``ocr_concurrency`` / ``num_cpus`` — actor-pool sizing; leave
+  headroom for the read and shuffle stages.
+- ``repartition_blocks`` — optional post-explode repartition to
+  balance blocks when input files are few/skewed.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from ..stages.classify import classify_and_explode
+from ..stages.extract import SpanExtractor
+from ..stages.reassemble import reassemble_table
+
+
+def extract_spans(
+    ds: ray.data.Dataset,
+    *,
+    engine: str | None = None,
+    language: str = "eng",
+    preprocess: bool = True,
+    document_type: str = "general",
+    ocr_concurrency: int | tuple[int, int] = 4,
+    ocr_batch_size: int = 256,
+    num_cpus: float = 1,
+    repartition_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Documents -> extracted span rows (before reassembly)."""
+    ds = ds.map_batches(
+        classify_and_explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if repartition_blocks:
+        ds = ds.repartition(repartition_blocks)
+    return ds.map_batches(
+        SpanExtractor,
+        fn_constructor_kwargs={
+            "engine": engine,
+            "language": language,
+            "preprocess": preprocess,
+            "document_type": document_type,
+        },
+        batch_format="pyarrow",
+        batch_size=ocr_batch_size,
+        concurrency=ocr_concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def extract_documents(
+    ds: ray.data.Dataset,
+    *,
+    engine: str | None = None,
+    language: str = "eng",
+    preprocess: bool = True,
+    document_type: str = "general",
+    ocr_concurrency: int | tuple[int, int] = 4,
+    ocr_batch_size: int = 256,
+    num_cpus: float = 1,
+    repartition_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Full extraction: documents in, reassembled document results out."""
+    rows = extract_spans(
+        ds,
+        engine=engine,
+        language=language,
+        preprocess=preprocess,
+        document_type=document_type,
+        ocr_concurrency=ocr_concurrency,
+        ocr_batch_size=ocr_batch_size,
+        num_cpus=num_cpus,
+        repartition_blocks=repartition_blocks,
+    )
+    return rows.groupby("doc_id").map_groups(reassemble_table, batch_format="pyarrow")

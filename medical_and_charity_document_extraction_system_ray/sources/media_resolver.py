@@ -1,0 +1,62 @@
+"""Pluggable media resolution: ``media_ref`` string -> page image.
+
+The reference loads page images from the filesystem per page
+(``backend/app/utils/file_utils.py:129-173``) and round-trips every
+intermediate image through disk.  The engine instead resolves media
+*inside* the batch function and keeps pixels in memory for the whole
+preprocess->OCR chain.
+
+Schemes:
+
+- ``mem://{doc_id}/{offset}`` — fixture scheme: deterministically
+  synthesize the band-codec image for the span's ground-truth text
+  (FIXTURES.md §1).
+- ``memb64://{base64-utf8-text}`` — self-contained scheme used when an
+  interleaved table is derived from a flat corpus: the page text rides
+  inside the ref and is rendered on demand.
+- ``npy://{path}`` — raw ndarray on disk (np.load).
+- anything else (real image files: png/jpg/tiff) — requires an image
+  codec; the container ships none, so this raises
+  ``NotImplementedError`` per the multimodal-stub policy.  The Ray-side
+  plumbing (actor signature, batch layout) is identical for all schemes.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+
+from ..fixtures.generate import media_ground_truth, media_noise_sigma
+from ..fixtures.media import MEM_SCHEME, encode_text_image, parse_mem_ref
+
+B64_SCHEME = "memb64://"
+NPY_SCHEME = "npy://"
+
+
+class MediaResolver:
+    """Stateless-per-call resolver; hold one per actor (warm state slot)."""
+
+    def resolve(self, media_ref: str) -> np.ndarray:
+        if media_ref.startswith(MEM_SCHEME):
+            doc_id, offset = parse_mem_ref(media_ref)
+            text = media_ground_truth(doc_id, offset)
+            sigma = media_noise_sigma(doc_id, offset)
+            return encode_text_image(text, noise_sigma=sigma, seed=offset + 1)
+        if media_ref.startswith(B64_SCHEME):
+            text = base64.urlsafe_b64decode(
+                media_ref[len(B64_SCHEME) :].encode("ascii")
+            ).decode("utf-8")
+            return encode_text_image(text)
+        if media_ref.startswith(NPY_SCHEME):
+            return np.load(media_ref[len(NPY_SCHEME) :])
+        raise NotImplementedError(
+            f"no image codec available for media_ref {media_ref!r}; "
+            "png/jpg decode requires an imaging library not present in "
+            "this environment (stubbed per multimodal policy)"
+        )
+
+
+def text_to_media_ref(text: str) -> str:
+    """Build a self-contained ``memb64://`` ref carrying ``text``."""
+    return B64_SCHEME + base64.urlsafe_b64encode(text.encode("utf-8")).decode("ascii")
