@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray Data engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself BEFORE importing this module; no
+function here (nor anything in the library) calls ``ray.init`` /
+``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship extraction pipeline on sf0.001.
+- ``queries()``    — one callable per implemented operator/pipeline
+                     (SURVEY.md §2 + the training-data extras).
+- ``oracle_sql()`` — DuckDB equivalents; entries are omitted for
+                     non-SQL-expressible ops (probabilistic dedup,
+                     model/heuristic scoring, approximate search) and
+                     the driver records a rows-only check for those.
 """
 
 from __future__ import annotations
@@ -18,27 +18,79 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from medical_and_charity_document_extraction_system_ray.pipelines import (
+    dedup,
+    events,
+    extraction_query,
+    multimodal,
+    relational,
+    similarity,
+    text_analysis,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (classify -> explode -> preprocess+OCR actor
+    pool -> groupby(doc_id) reassembly) on the sf0.001 corpus."""
+    return extraction_query.q_extract_documents(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (full pipeline incl. media path + shuffle)
+        "extract_documents": extraction_query.q_extract_documents,
+        # relational core operators
+        "pricing_summary": relational.q1_pricing_summary,
+        "revenue_forecast": relational.q6_revenue_forecast,
+        "priority_counts": relational.q3_priority_counts,
+        "brand_revenue_join": relational.q_join_brand_revenue,
+        "top_customers": relational.q_top_customers,
+        "distinct_flags": relational.q_distinct_flags,
+        "union_nation_counts": relational.q_union_nation_counts,
+        "merge_documents": relational.q_merge_documents,
+        # stream-shaped
+        "hourly_event_stats": events.q_hourly_event_stats,
+        "sessionize": events.q_sessionize,
+        # text analysis
+        "doc_stats": text_analysis.q_doc_stats,
+        "quality_scores": text_analysis.q_quality_scores,
+        "lang_id": text_analysis.q_lang_id,
+        "fingerprints": text_analysis.q_fingerprints,
+        # dedup family
+        "dedup_exact": dedup.q_dedup_exact,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "simhash_pairs": dedup.q_simhash_pairs,
+        "ngram_jaccard": dedup.q_ngram_jaccard,
+        "embedding_neardup": dedup.q_embedding_neardup,
+        # similarity search
+        "knn_bruteforce": similarity.q_knn_bruteforce,
+        "knn_ivf": similarity.q_knn_ivf,
+        # multimodal plumbing
+        "media_features": multimodal.q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_documents": extraction_query.Q_EXTRACT_SQL,
+        "pricing_summary": relational.Q1_SQL,
+        "revenue_forecast": relational.Q6_SQL,
+        "priority_counts": relational.Q3_SQL,
+        "brand_revenue_join": relational.Q_JOIN_SQL,
+        "top_customers": relational.Q_TOPK_SQL,
+        "distinct_flags": relational.Q_DISTINCT_SQL,
+        "union_nation_counts": relational.Q_UNION_SQL,
+        "merge_documents": relational.Q_MERGE_SQL,
+        "hourly_event_stats": events.Q_HOURLY_SQL,
+        "sessionize": events.Q_SESSIONIZE_SQL,
+        "doc_stats": text_analysis.Q_DOC_STATS_SQL,
+        "quality_scores": text_analysis.Q_QUALITY_SQL,
+        "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
+        "embedding_neardup": dedup.Q_EMB_NEARDUP_SQL,
+        "knn_bruteforce": similarity.Q_KNN_SQL,
+        # rows-only (non-SQL-expressible): lang_id, fingerprints,
+        # minhash_lsh_pairs, simhash_pairs, ngram_jaccard, knn_ivf,
+        # media_features
+    }

@@ -1,0 +1,130 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data is a batch engine (and the reference has no streaming either,
+SURVEY.md §2.10) — stream semantics are expressed as: partition by key,
+order by ``ts`` within the partition, window inside ``map_groups``
+(see ray guide, "Streaming-shaped workloads").  Ordering assumption:
+event time is complete per key at run time (no watermarks / late data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..sources.readers import read_table
+from .relational import _cents
+
+
+def q_hourly_event_stats(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour windows per event_type: count + value sum.
+
+    The window key is computed vectorized per batch
+    (``floor_temporal``), partials are pre-aggregated per batch, and
+    the shuffle only moves (window, type) partial rows.
+    """
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        tmp = pa.table(
+            {
+                "hour": hour,
+                "event_type": t["event_type"],
+                "value_c": _cents(t["value"]),
+            }
+        )
+        return tmp.group_by(["hour", "event_type"]).aggregate(
+            [("value_c", "sum"), ("value_c", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["hour", "event_type"]).aggregate(
+        Sum("value_c_sum", alias_name="s"),
+        Sum("value_c_count", alias_name="n_events"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": t["hour"],
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+                "sum_value": pc.divide(pc.cast(t["s"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Session windows per user (new session when the gap from the
+    previous event exceeds ``gap_minutes``): per-user session count,
+    event count, and max session length.
+
+    Partition by ``user_id`` (groupby shuffle), sort by ``ts`` inside
+    the group, run the gap logic vectorized in pandas.
+    """
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, grp in g.groupby("user_id", sort=True):
+            ts = grp["ts"].sort_values().to_numpy()
+            if len(ts) == 0:
+                continue
+            # exact microsecond comparison (SQL INTERVAL is exact too;
+            # truncating to seconds would misclassify e.g. a 1800.5 s gap)
+            gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+            new_session = gaps_us > gap_minutes * 60 * 1_000_000
+            session_id = np.concatenate([[0], np.cumsum(new_session)])
+            n_sessions = int(session_id[-1]) + 1
+            lengths = np.bincount(session_id)
+            out.append(
+                {
+                    "user_id": uid,
+                    "n_sessions": n_sessions,
+                    "n_events": len(ts),
+                    "max_session_events": int(lengths.max()),
+                }
+            )
+        return pd.DataFrame(
+            out,
+            columns=["user_id", "n_sessions", "n_events", "max_session_events"],
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+Q_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       MAX(n) AS max_session_events
+FROM per_session GROUP BY user_id
+"""

@@ -1,0 +1,138 @@
+"""Multimodal column operators.
+
+Image/audio/video payloads are opaque references/binary columns with
+typed metadata; decode / feature-extract / resize / frame-sample run as
+actor-pool ``map_batches`` stages.  The container ships no imaging or
+audio codecs, so *format decode* for real media files is a
+clearly-marked stub (``NotImplementedError`` via MediaResolver — the
+reference's cv2 decode path, ``file_utils.py:129-173``); the Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is
+real and tested against the synthetic ``mem://``/``memb64://`` schemes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..sources.media_resolver import MediaResolver
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-numpy bilinear resize (the engine analog of cv2.resize)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = np.clip(ys - y0, 0, 1)[:, None]
+    fx = np.clip(xs - x0, 0, 1)[None, :]
+    f = img.astype(np.float64)
+    out = (
+        f[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + f[np.ix_(y0, x1)] * (1 - fy) * fx
+        + f[np.ix_(y1, x0)] * fy * (1 - fx)
+        + f[np.ix_(y1, x1)] * fy * fx
+    )
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
+
+def sample_frames(n_frames: int, fps: float, every_sec: float) -> np.ndarray:
+    """Deterministic frame-sampling plan for a video payload: indices of
+    one frame per ``every_sec`` seconds.  (Video *decode* is stubbed —
+    no codec in this container — but the sampling plan and the actor
+    plumbing are the real scale path.)"""
+    step = max(1, int(round(fps * every_sec)))
+    return np.arange(0, n_frames, step, dtype=np.int64)
+
+
+class MediaFeatureExtractor:
+    """Actor: decode media_ref -> grayscale page image -> fixed feature
+    row (dims, ink ratio, intensity stats, 8x8 thumbnail hash).
+
+    Resolver state held per actor; failures become error rows (same
+    semantics as the OCR stage)."""
+
+    def __init__(self, thumb: int = 8):
+        self.resolver = MediaResolver()
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        n = len(refs)
+        height = np.zeros(n, np.int32)
+        width = np.zeros(n, np.int32)
+        mean = np.zeros(n, np.float64)
+        std = np.zeros(n, np.float64)
+        ink_ratio = np.zeros(n, np.float64)
+        thumb_hash = np.zeros(n, np.int64)
+        error = [""] * n
+        success = np.ones(n, bool)
+        for i, ref in enumerate(refs):
+            try:
+                img = self.resolver.resolve(ref)
+                if img.ndim == 3:
+                    img = img.mean(axis=2).astype(np.uint8)
+                height[i], width[i] = img.shape
+                mean[i] = float(img.mean())
+                std[i] = float(img.std())
+                ink_ratio[i] = float((img < 128).mean())
+                t = resize_bilinear(img, self.thumb, self.thumb)
+                bits = (t.reshape(-1) < t.mean()).astype(np.uint64)
+                h = np.uint64(0)
+                for b in bits:
+                    h = (h << np.uint64(1)) | b
+                thumb_hash[i] = np.int64(h.astype(np.int64))
+            except Exception as e:
+                error[i] = str(e)
+                success[i] = False
+        cols = {
+            "media_ref": batch.column("media_ref"),
+            "height": pa.array(height),
+            "width": pa.array(width),
+            "mean_intensity": pa.array(np.floor(mean * 1e6) / 1e6),
+            "std_intensity": pa.array(np.floor(std * 1e6) / 1e6),
+            "ink_ratio": pa.array(np.floor(ink_ratio * 1e6) / 1e6),
+            "thumb_hash": pa.array(thumb_hash),
+            "error": pa.array(error),
+            "success": pa.array(success),
+        }
+        for name in batch.column_names:
+            if name != "media_ref":
+                cols[name] = batch.column(name)
+        return pa.table(cols)
+
+
+def q_media_features(sf_dir: str) -> ray.data.Dataset:
+    """Feature-extract every media span of the derived interleaved
+    corpus — the image-pipeline plumbing demo over real Ray actors.
+    Rows-only oracle."""
+    import pyarrow.compute as pc
+
+    from ..sources.derive import flat_to_interleaved
+    from ..sources.readers import read_table
+    from ..stages.classify import classify_and_explode
+
+    flat = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = flat.map_batches(flat_to_interleaved, batch_format="pyarrow")
+    spans = docs.map_batches(classify_and_explode, batch_format="pyarrow")
+    media = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")).select(
+            ["doc_id", "offset", "media_ref"]
+        ),
+        batch_format="pyarrow",
+    )
+    feats = media.map_batches(
+        MediaFeatureExtractor, batch_format="pyarrow",
+        batch_size=256, concurrency=2,
+    )
+    return feats.map_batches(
+        lambda t: t.select(
+            ["doc_id", "offset", "height", "width", "mean_intensity",
+             "std_intensity", "ink_ratio", "thumb_hash", "success"]
+        ),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,340 @@
+"""Relational operator suite over the generic benchmark tables.
+
+These pipelines exercise the engine's core operator set (filter /
+project / aggregate / join / sort / limit / distinct / union) in
+Ray-Data-first form and each has a DuckDB oracle in
+``__ray_entry__.oracle_sql`` — names and value semantics match
+bit-for-bit:
+
+- money aggregates are computed on **integer cents** (``floor(x*100 +
+  0.5)``) so sums are order-independent and identical in both engines
+  (double summation order differs between Ray partials and DuckDB);
+- computed ratios are floored to a 1e-6 grid (see functions.text);
+- top-k orders carry a unique tie-break key.
+
+Scale notes: every aggregate pre-combines inside ``map_batches`` (one
+partial row per key per batch) before the ``groupby`` shuffle;
+small-side joins broadcast a python set/dict via ``ray.put`` instead of
+shuffling the big side; the one large-large join uses the
+hash-partitioned ``Dataset.join``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..sources.readers import read_table
+
+
+def _cents(col) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — matches SQL CAST(FLOOR(x*100 + 0.5) AS BIGINT)."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: filter + partial agg + groupby
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """Grouped pricing summary over lineitem (TPC-H Q1 shape).
+
+    Partial aggregation inside map_batches (one row per key per batch),
+    then a small groupby over partials — the shuffle moves O(keys x
+    blocks) rows, not O(rows).
+    """
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"), type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        qty_c = _cents(t["l_quantity"])
+        price_c = _cents(t["l_extendedprice"])
+        disc_pct = _cents(t["l_discount"])  # discount in basis points /100... 0.04 -> 4
+        rev_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        tmp = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": qty_c,
+                "price_c": price_c,
+                "rev_e4": rev_e4,
+            }
+        )
+        g = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("rev_e4", "sum"), ("qty_c", "count")]
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_c_sum", alias_name="s_qty"),
+        Sum("price_c_sum", alias_name="s_price"),
+        Sum("rev_e4_sum", alias_name="s_rev"),
+        Sum("qty_c_count", alias_name="count_order"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.divide(pc.cast(t["s_qty"], pa.float64()), 100.0),
+                "sum_base_price": pc.divide(pc.cast(t["s_price"], pa.float64()), 100.0),
+                "sum_disc_price": pc.divide(pc.cast(t["s_rev"], pa.float64()), 10000.0),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) / 10000.0 AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6-style scalar aggregate with read-time predicate pushdown
+# ---------------------------------------------------------------------------
+
+def q6_revenue_forecast(sf_dir: str) -> ray.data.Dataset:
+    """Scalar revenue over a tight filter; predicate applied at the
+    parquet read (row-group pushdown) and columns pruned."""
+    flt = (
+        (pc.field("l_shipdate") >= pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us")))
+        & (pc.field("l_shipdate") < pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us")))
+        & (pc.field("l_quantity") < 24.0)
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=flt,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_pct = _cents(t["l_discount"])
+        m = pc.and_(pc.greater_equal(disc_pct, 5), pc.less_equal(disc_pct, 7))
+        t2 = t.filter(m)
+        rev_e4 = pc.multiply(_cents(t2["l_extendedprice"]), pc.cast(_cents(t2["l_discount"]), pa.int64()))
+        return pa.table({"rev_e4": pa.array([pc.sum(rev_e4).as_py() or 0], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(None).aggregate(Sum("rev_e4", alias_name="s"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"revenue": pc.divide(pc.cast(t["s"], pa.float64()), 10000.0)}
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q6_SQL = """
+SELECT SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+           * CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 24
+  AND CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast semi-join: small dimension side shipped once via ray.put
+# ---------------------------------------------------------------------------
+
+def q3_priority_counts(sf_dir: str) -> ray.data.Dataset:
+    """Orders of BUILDING-segment customers, counted by priority.
+
+    The customer side is tiny (dimension table): materialize the key
+    set once on the driver, ``ray.put`` it, and filter orders inside
+    map_batches — a broadcast semi-join, no shuffle of the fact table.
+    """
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = set()
+    for b in cust.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        m = pc.equal(b["c_mktsegment"], "BUILDING")
+        keys.update(b.filter(m)["c_custkey"].to_pylist())
+    keys_ref = ray.put(np.fromiter(keys, dtype=np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        wanted = ray.get(keys_ref)
+        mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), wanted)
+        t2 = t.filter(pa.array(mask))
+        return pa.table(
+            {"o_orderpriority": t2["o_orderpriority"]}
+        ).group_by("o_orderpriority").aggregate([([], "count_all")])
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    partials = orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("o_orderpriority").aggregate(
+        Sum("count_all", alias_name="order_count")
+    )
+
+
+Q3_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Large-large hash join via Dataset.join
+# ---------------------------------------------------------------------------
+
+def q_join_brand_revenue(sf_dir: str) -> ray.data.Dataset:
+    """lineitem x part hash-partitioned join, revenue by brand."""
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev_e4 = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        return pa.table({"l_partkey": t["l_partkey"], "rev_e4": rev_e4})
+
+    li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = li.join(
+        part, join_type="inner", num_partitions=8,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+    agg = joined.groupby("p_brand").aggregate(Sum("rev_e4", alias_name="s"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "revenue": pc.divide(pc.cast(t["s"], pa.float64()), 10000.0),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q_JOIN_SQL = """
+SELECT p_brand,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k, distinct, union
+# ---------------------------------------------------------------------------
+
+def q_top_customers(sf_dir: str) -> ray.data.Dataset:
+    """Top 10 customers by balance (unique tie-break on custkey)."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    return ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10)
+
+
+Q_TOPK_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+"""
+
+
+def q_distinct_flags(sf_dir: str) -> ray.data.Dataset:
+    """Distinct (returnflag, linestatus) pairs — per-batch dedup then a
+    tiny groupby (never shuffles full rows)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
+
+    ds = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="_n")
+    ).select_columns(["l_returnflag", "l_linestatus"])
+
+
+Q_DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_union_nation_counts(sf_dir: str) -> ray.data.Dataset:
+    """Union of customer+supplier nation keys, counted per nation."""
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": t["c_nationkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    supp = read_table(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": t["s_nationkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return cust.union(supp).groupby("nationkey").aggregate(Count(alias_name="n"))
+
+
+Q_UNION_SQL = """
+SELECT nationkey, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) GROUP BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Group-concatenate: the PDF-merge analog (SURVEY.md §2.6 merge_pdfs)
+# ---------------------------------------------------------------------------
+
+def q_merge_documents(sf_dir: str) -> ray.data.Dataset:
+    """N documents -> one merged text per source, pages joined in
+    doc_id order — the engine analog of the reference's merge_pdfs
+    (pdf_service.py:23-85): group-and-concatenate, inverse of the span
+    explode."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+        src = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        ids = np.asarray(src, dtype=object)
+        bounds = np.nonzero(ids[1:] != ids[:-1])[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(ids)]])
+        return pa.table(
+            {
+                "source": pa.array([src[s] for s in starts]),
+                "n_docs": pa.array([int(e - s) for s, e in zip(starts, ends)], pa.int64()),
+                "merged_text": pa.array(
+                    ["\n\n".join(texts[s:e]) for s, e in zip(starts, ends)]
+                ),
+            }
+        )
+
+    return ds.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+Q_MERGE_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id) AS merged_text
+FROM documents GROUP BY source
+"""
