@@ -1,0 +1,162 @@
+"""Benchmark harness.
+
+Headline: flagship extraction throughput (docs/sec) over a deterministic
+interleaved fixture corpus (FIXTURES.md §1 generator, cached under
+/tmp).  Also times a representative subset of the operator suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+``--scaling`` runs the headline job twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox evidence for the north
+rule's N-vs-4N-nodes criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "4000"))
+SEED = 42
+
+
+def _fixture_path(n: int) -> str:
+    os.makedirs("/tmp/graft_bench", exist_ok=True)
+    path = f"/tmp/graft_bench/docs_{n}_{SEED}.parquet"
+    if not os.path.exists(path):
+        from medical_and_charity_document_extraction_system_ray.fixtures import (
+            write_documents_parquet,
+        )
+
+        write_documents_parquet(path, n, seed=SEED)
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from medical_and_charity_document_extraction_system_ray.pipelines import (
+        extract_documents,
+    )
+    from medical_and_charity_document_extraction_system_ray.pipelines import (
+        dedup,
+        events,
+        extraction_query,
+        relational,
+        similarity,
+        text_analysis,
+    )
+
+    path = _fixture_path(BENCH_DOCS)
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    with open(path, "rb") as f:
+        f.read()
+
+    # --- headline: flagship extraction over the interleaved corpus ----
+    t0 = time.time()
+    ds = ray.data.read_parquet(path)
+    out = extract_documents(
+        ds,
+        ocr_concurrency=max(2, NUM_CPUS - 2),
+        ocr_batch_size=64,
+        num_cpus=1,
+    )
+    n_docs = sum(
+        len(b) for b in out.iter_batches(batch_size=4096, batch_format="pyarrow")
+    )
+    headline = time.time() - t0
+
+    # --- operator-suite subset over the generic tables ----------------
+    subset = {
+        "extract_flat": extraction_query.q_extract_documents,
+        "pricing_summary": relational.q1_pricing_summary,
+        "brand_revenue_join": relational.q_join_brand_revenue,
+        "hourly_event_stats": events.q_hourly_event_stats,
+        "sessionize": events.q_sessionize,
+        "quality_scores": text_analysis.q_quality_scores,
+        "dedup_exact": dedup.q_dedup_exact,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "knn_bruteforce": similarity.q_knn_bruteforce,
+    }
+    qtimes: dict[str, float] = {}
+    for name, fn in subset.items():
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "iter_batches"):
+            sum(len(b) for b in res.iter_batches(batch_size=8192, batch_format="pyarrow"))
+        qtimes[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship extraction wall-clock over "
+        f"{n_docs}-doc interleaved corpus + operator subset at {SF_DIR}",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 2),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_DOCS=str(BENCH_DOCS),
+            PYTHONPATH=REPO,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["docs_per_sec"] and (r_hi["docs_per_sec"] / r_lo["docs_per_sec"])) / (hi / lo)
+    return {
+        "metric": "scaling efficiency of flagship extraction, "
+        f"num_cpus {lo} vs {hi} (fresh ray sessions, same input)",
+        "docs": r_lo["docs"],
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

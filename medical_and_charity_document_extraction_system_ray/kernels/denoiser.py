@@ -67,21 +67,27 @@ def bilateral_denoise(
 ) -> np.ndarray:
     """Bilateral filter: gaussian space weight x gaussian range weight,
     vectorized as a sum over the (d x d) shift lattice."""
-    gray = to_gray(image).astype(np.float64)
+    gray8 = to_gray(image)
+    gray = gray8.astype(np.float32)
     r = d // 2
-    src = np.pad(gray, r, mode="reflect")
+    src8 = np.pad(gray8, r, mode="reflect")
+    src = src8.astype(np.float32)
     h, w = gray.shape
-    num = np.zeros((h, w), dtype=np.float64)
-    den = np.zeros((h, w), dtype=np.float64)
-    inv2_sc = 1.0 / (2.0 * sigma_color**2)
+    num = np.zeros((h, w), dtype=np.float32)
+    den = np.zeros((h, w), dtype=np.float32)
+    # range weights via a 256-entry LUT over |intensity diff| (exact for
+    # uint8 inputs, ~4x cheaper than exp per pixel per shift)
+    diffs = np.arange(256, dtype=np.float32)
+    range_lut = np.exp(-(diffs**2) / np.float32(2.0 * sigma_color**2)).astype(np.float32)
     inv2_ss = 1.0 / (2.0 * sigma_space**2)
+    src16 = src8.astype(np.int16)
+    gray16 = gray8.astype(np.int16)
     for di in range(d):
         for dj in range(d):
-            shifted = src[di : di + h, dj : dj + w]
-            sw = np.exp(-((di - r) ** 2 + (dj - r) ** 2) * inv2_ss)
-            rw = np.exp(-((shifted - gray) ** 2) * inv2_sc)
-            wgt = sw * rw
-            num += wgt * shifted
+            sw = np.float32(np.exp(-((di - r) ** 2 + (dj - r) ** 2) * inv2_ss))
+            adiff = np.abs(src16[di : di + h, dj : dj + w] - gray16)
+            wgt = range_lut[adiff] * sw
+            num += wgt * src[di : di + h, dj : dj + w]
             den += wgt
     return np.clip(num / den + 0.5, 0, 255).astype(np.uint8)
 

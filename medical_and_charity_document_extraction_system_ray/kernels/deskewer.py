@@ -51,13 +51,13 @@ def _auto_deskew(image: np.ndarray) -> tuple[np.ndarray, float]:
 def _edge_points(gray: np.ndarray, mag_thresh: float = 100.0) -> tuple[np.ndarray, np.ndarray]:
     """Sobel gradient magnitude threshold (stand-in for cv2.Canny(50,150);
     no hysteresis/NMS — only line *angles* are consumed downstream)."""
-    g = gray.astype(np.float64)
+    g = gray.astype(np.float32)
     gx = np.zeros_like(g)
     gy = np.zeros_like(g)
     gx[:, 1:-1] = g[:, 2:] - g[:, :-2]
     gy[1:-1, :] = g[2:, :] - g[:-2, :]
-    mag = np.hypot(gx, gy)
-    ys, xs = np.nonzero(mag > mag_thresh)
+    # compare squared magnitude (avoids the sqrt of hypot)
+    ys, xs = np.nonzero(gx * gx + gy * gy > np.float32(mag_thresh * mag_thresh))
     return ys, xs
 
 
@@ -69,7 +69,7 @@ def detect_skew_hough(image: np.ndarray, angle_range: float = 45.0) -> float:
     ys, xs = _edge_points(gray)
     if ys.size == 0:
         return 0.0
-    cap = 20_000
+    cap = 10_000
     if ys.size > cap:  # deterministic subsample keeps the accumulator cheap
         step = ys.size // cap + 1
         ys, xs = ys[::step], xs[::step]
@@ -77,17 +77,23 @@ def detect_skew_hough(image: np.ndarray, angle_range: float = 45.0) -> float:
     else:
         vote_scale = 1
 
-    thetas = np.deg2rad(np.arange(180, dtype=np.float64))
+    thetas = np.deg2rad(np.arange(180, dtype=np.float32))
     diag = int(np.ceil(np.hypot(*gray.shape)))
     cos_t = np.cos(thetas)
     sin_t = np.sin(thetas)
-    # rho = x cosθ + y sinθ ∈ [-diag, diag]
-    rho = np.round(
-        xs[:, None].astype(np.float64) * cos_t[None, :]
-        + ys[:, None].astype(np.float64) * sin_t[None, :]
-    ).astype(np.int64) + diag
+    # rho = x cosθ + y sinθ ∈ [-diag, diag]; +0.5 then truncate == round
+    # half-up (values are >= 0 after the +diag shift)
+    rho = (
+        xs[:, None].astype(np.float32) * cos_t[None, :]
+        + ys[:, None].astype(np.float32) * sin_t[None, :]
+        + np.float32(diag)
+        + np.float32(0.5)
+    ).astype(np.int32)  # int32: float32->int64 casts hit a slow numpy path
     nbins = 2 * diag + 1
-    flat = (np.broadcast_to(np.arange(180), rho.shape) * nbins + rho).reshape(-1)
+    flat = (
+        np.broadcast_to(np.arange(180, dtype=np.int32)[None, :], rho.shape) * nbins
+        + rho
+    ).reshape(-1)
     acc = np.bincount(flat, minlength=180 * nbins).reshape(180, nbins)
 
     t_idx, _ = np.nonzero(acc >= max(1, 100 // vote_scale))

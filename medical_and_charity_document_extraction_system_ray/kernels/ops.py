@@ -164,15 +164,16 @@ def rotate_expand(
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ncy, ncx = (nh - 1) / 2.0, (nw - 1) / 2.0
 
-    yy, xx = np.meshgrid(np.arange(nh, dtype=np.float64),
-                         np.arange(nw, dtype=np.float64), indexing="ij")
-    # inverse rotation of destination coords back into source space
-    ca, sa = np.cos(a), np.sin(a)
-    xs = (xx - ncx) * ca - (yy - ncy) * sa + cx
-    ys = (xx - ncx) * sa + (yy - ncy) * ca + cy
+    # inverse rotation of destination coords back into source space;
+    # float32 throughout (pixel coordinates fit with slack)
+    ca, sa = np.float32(np.cos(a)), np.float32(np.sin(a))
+    dx = (np.arange(nw, dtype=np.float32) - np.float32(ncx))[None, :]
+    dy = (np.arange(nh, dtype=np.float32) - np.float32(ncy))[:, None]
+    xs = dx * ca - dy * sa + np.float32(cx)
+    ys = dx * sa + dy * ca + np.float32(cy)
 
-    x0 = np.floor(xs).astype(np.int64)
-    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int32)
+    y0 = np.floor(ys).astype(np.int32)
     fx = xs - x0
     fy = ys - y0
     valid = (xs >= -1) & (xs <= w) & (ys >= -1) & (ys <= h)
@@ -182,14 +183,14 @@ def rotate_expand(
     y0c = np.clip(y0, 0, h - 1)
     y1c = np.clip(y0 + 1, 0, h - 1)
 
-    f = img.astype(np.float64)
+    f = img.astype(np.float32)
     out = (
         f[y0c, x0c] * (1 - fx) * (1 - fy)
         + f[y0c, x1c] * fx * (1 - fy)
         + f[y1c, x0c] * (1 - fx) * fy
         + f[y1c, x1c] * fx * fy
     )
-    out = np.where(valid, out, float(border_value))
+    out = np.where(valid, out, np.float32(border_value))
     return np.clip(out + 0.5, 0, 255).astype(np.uint8)
 
 
