@@ -83,8 +83,12 @@ def run_bench() -> dict:
     out = extract_documents(
         ds,
         ocr_concurrency=max(2, NUM_CPUS - 2),
-        ocr_batch_size=64,
+        ocr_batch_size=128,
         num_cpus=1,
+        # break explode->extract operator fusion and rebalance span rows:
+        # without this a giant document stays in one input block and its
+        # whole span list serializes on one actor (skew straggler)
+        repartition_blocks=NUM_CPUS * 4,
     )
     n_docs = sum(
         len(b) for b in out.iter_batches(batch_size=4096, batch_format="pyarrow")
@@ -92,6 +96,19 @@ def run_bench() -> dict:
     headline = time.time() - t0
 
     # --- operator-suite subset over the generic tables ----------------
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        ray.shutdown()
+        return {
+            "metric": f"flagship extraction wall-clock over {n_docs}-doc interleaved corpus",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / headline, 2),
+        }
+
     subset = {
         "extract_flat": extraction_query.q_extract_documents,
         "pricing_summary": relational.q1_pricing_summary,
@@ -125,12 +142,46 @@ def run_bench() -> dict:
     }
 
 
+def _burn(_):
+    import numpy as np
+
+    x = np.random.default_rng(0).normal(size=(384, 384))
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 2.5:
+        x = np.clip(x @ x * 1e-3, -1, 1)
+        n += 1
+    return n
+
+
+def _hardware_ceiling(lo: int, hi: int) -> float:
+    """Pure-CPU control: the efficiency this HOST can deliver between
+    the two worker counts (matmul loop via multiprocessing).  The
+    sandbox is a shared VM with CPU steal, so even embarrassingly
+    parallel work scales sublinearly; the pipeline's efficiency should
+    be judged against this ceiling, which a real fixed-size N vs 4N
+    node cluster would not have."""
+    import multiprocessing as mp
+
+    rates = {}
+    for workers in (lo, hi):
+        with mp.Pool(workers) as p:
+            rates[workers] = sum(p.map(_burn, range(workers)))
+    return (rates[hi] / rates[lo]) / (hi / lo)
+
+
 def run_scaling() -> dict:
+    # a larger corpus than the plain bench so fixed costs (actor-pool
+    # startup, barriers) amortize and the measurement reflects steady
+    # state; also pulls in the >=10k-doc giant-document skew case
+    scale_docs = int(os.environ.get("GRAFT_SCALE_DOCS", "12000"))
+
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_BENCH_DOCS=str(BENCH_DOCS),
+            GRAFT_BENCH_DOCS=str(scale_docs),
+            GRAFT_HEADLINE_ONLY="1",
             PYTHONPATH=REPO,
         )
         out = subprocess.run(
@@ -139,19 +190,23 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     r_lo = run(lo)
     r_hi = run(hi)
-    eff = (r_lo["docs_per_sec"] and (r_hi["docs_per_sec"] / r_lo["docs_per_sec"])) / (hi / lo)
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    hw = _hardware_ceiling(lo, hi)
     return {
         "metric": "scaling efficiency of flagship extraction, "
         f"num_cpus {lo} vs {hi} (fresh ray sessions, same input)",
         "docs": r_lo["docs"],
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "docs_per_sec_8": r_lo["docs_per_sec"],
-        "docs_per_sec_32": r_hi["docs_per_sec"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling_efficiency": round(hw, 3),
+        "normalized_efficiency": round(eff / hw, 3) if hw else None,
     }
 
 

@@ -35,7 +35,7 @@ import zlib
 
 import numpy as np
 
-CELL = 6          # px per bit cell
+CELL = 4          # px per bit cell (3x3 center sampling + CRC keeps 4 px robust)
 MARGIN = 12       # white margin px
 BYTES_PER_ROW = 16
 _MAGIC = 0xFF

@@ -84,9 +84,10 @@ def bilateral_denoise(
     gray16 = gray8.astype(np.int16)
     for di in range(d):
         for dj in range(d):
-            sw = np.float32(np.exp(-((di - r) ** 2 + (dj - r) ** 2) * inv2_ss))
+            sw = np.exp(-((di - r) ** 2 + (dj - r) ** 2) * inv2_ss)
             adiff = np.abs(src16[di : di + h, dj : dj + w] - gray16)
-            wgt = range_lut[adiff] * sw
+            # space weight folded into the LUT: one fancy-index pass
+            wgt = (range_lut * np.float32(sw))[adiff]
             num += wgt * src[di : di + h, dj : dj + w]
             den += wgt
     return np.clip(num / den + 0.5, 0, 255).astype(np.uint8)

@@ -28,6 +28,9 @@ from ..sources.readers import read_table
 
 _P1 = np.uint64(0x9E3779B97F4A7C15)
 _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+# coarse shuffle-key cardinality: enough groups for parallelism, few
+# enough that per-group python overhead stays negligible
+_COARSE_BUCKETS = 64
 
 
 # ---------------------------------------------------------------------------
@@ -138,10 +141,15 @@ def q_minhash_lsh_pairs(
                 for c in range(seg.shape[1]):
                     h = h * _P1 + seg[:, c]
                 bh[:, bidx] = h
+        bh_flat = bh.T.reshape(-1)
         return pa.table(
             {
                 "band_id": band_ids,
-                "band_hash": bh.T.reshape(-1).astype(np.int64),
+                "band_hash": bh_flat.astype(np.int64),
+                # coarse shuffle key: one groupby call handles MANY LSH
+                # buckets (a map_groups call per (band,hash) bucket would
+                # pay python overhead per bucket — thousands of calls)
+                "bucket": (bh_flat % np.uint64(_COARSE_BUCKETS)).astype(np.int32),
                 "doc_id": np.tile(doc_ids, bands),
                 "text": pa.array(np.tile(texts, bands)),
             }
@@ -160,14 +168,21 @@ def q_minhash_lsh_pairs(
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out.append((int(ids[i]), int(ids[j]), texts[i], texts[j]))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "text_a", "text_b"])
+        df = pd.DataFrame(out, columns=["doc_a", "doc_b", "text_a", "text_b"])
+        if len(df):
+            df["pair_bucket"] = (
+                (df["doc_a"].to_numpy(np.uint64) * _P1 + df["doc_b"].to_numpy(np.uint64))
+                % np.uint64(_COARSE_BUCKETS)
+            ).astype(np.int32)
+        else:
+            df["pair_bucket"] = pd.Series([], dtype=np.int32)
+        return df
 
-    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    cand = band_rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        # dedup candidate pairs found in multiple bands, verify Jaccard
+        # a pair found in several bands always lands in one pair_bucket,
+        # so the within-bucket drop_duplicates is a global dedup
         if len(g) == 0:
             return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
         g = g.drop_duplicates(subset=["doc_a", "doc_b"])
@@ -183,7 +198,7 @@ def q_minhash_lsh_pairs(
         g["jaccard"] = np.floor(np.asarray(jac) * 1e6) / 1e6
         return g[g["jaccard"] >= jaccard_threshold]
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pandas")
+    return cand.groupby("pair_bucket").map_groups(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +237,9 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
                     {
                         "band_id": pa.array(np.full(len(t), b, dtype=np.int32)),
                         "band_key": pa.array(key),
+                        "bucket": pa.array(
+                            ((b * 65536 + key) % _COARSE_BUCKETS).astype(np.int32)
+                        ),
                         "doc_id": pa.array(doc),
                         "simhash": pa.array(sh.astype(np.int64)),
                     }
@@ -244,16 +262,26 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
                 ham = np.array([bin(int(x)).count("1") for x in d])
                 for j in np.nonzero(ham <= max_hamming)[0]:
                     out.append((int(ids[i]), int(ids[i + 1 + j]), int(ham[j])))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+        df = pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+        if len(df):
+            df["pair_bucket"] = (
+                (df["doc_a"].to_numpy(np.uint64) * _P1 + df["doc_b"].to_numpy(np.uint64))
+                % np.uint64(_COARSE_BUCKETS)
+            ).astype(np.int32)
+        else:
+            df["pair_bucket"] = pd.Series([], dtype=np.int32)
+        return df
 
-    cand = bands.groupby(["band_id", "band_key"]).map_groups(pairs, batch_format="pandas")
+    cand = bands.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
-        return g.drop_duplicates(subset=["doc_a", "doc_b"])
+        return g.drop_duplicates(subset=["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "hamming"]
+        ]
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    return cand.groupby("pair_bucket").map_groups(dedup_pairs, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

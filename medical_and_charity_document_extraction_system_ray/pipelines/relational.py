@@ -206,7 +206,12 @@ GROUP BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 def q_join_brand_revenue(sf_dir: str) -> ray.data.Dataset:
-    """lineitem x part hash-partitioned join, revenue by brand."""
+    """lineitem x part hash-partitioned join, revenue by brand.
+
+    The fact side is pre-aggregated to one row per part key (partial
+    combine in map_batches + a keyed groupby) BEFORE the join, so the
+    hash join only moves |distinct partkey| rows instead of every
+    lineitem — the standard aggregate-pushdown-below-join shape."""
     li = read_table(
         sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
     )
@@ -216,11 +221,14 @@ def q_join_brand_revenue(sf_dir: str) -> ray.data.Dataset:
             _cents(t["l_extendedprice"]),
             pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
         )
-        return pa.table({"l_partkey": t["l_partkey"], "rev_e4": rev_e4})
+        return pa.table(
+            {"l_partkey": t["l_partkey"], "rev_e4": rev_e4}
+        ).group_by("l_partkey").aggregate([("rev_e4", "sum")])
 
     li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    per_part = li.groupby("l_partkey").aggregate(Sum("rev_e4_sum", alias_name="rev_e4"))
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
-    joined = li.join(
+    joined = per_part.join(
         part, join_type="inner", num_partitions=8,
         on=("l_partkey",), right_on=("p_partkey",),
     )

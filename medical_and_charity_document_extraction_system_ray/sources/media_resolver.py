@@ -33,6 +33,35 @@ from ..fixtures.media import MEM_SCHEME, encode_text_image, parse_mem_ref
 B64_SCHEME = "memb64://"
 NPY_SCHEME = "npy://"
 
+# extension allow-list for media file refs (reference
+# ``validate_image_format`` + ALLOWED_EXTENSIONS, file_utils.py:271-273,
+# settings.py:104-108)
+ALLOWED_EXTENSIONS = {".jpg", ".jpeg", ".png", ".tiff", ".tif", ".bmp", ".npy"}
+
+
+def validate_media_format(media_ref: str) -> bool:
+    """True when the ref is an in-memory scheme or a file with an
+    allowed image extension."""
+    if media_ref.startswith((MEM_SCHEME, B64_SCHEME)):
+        return True
+    import os
+
+    ext = os.path.splitext(media_ref.split("://")[-1])[1].lower()
+    return ext in ALLOWED_EXTENSIONS
+
+
+def image_info(img: "np.ndarray") -> dict:
+    """Width/height/channels/bytes metadata probe (reference
+    ``get_image_info``, file_utils.py:210-237) — on the in-memory
+    array, never a filesystem round-trip."""
+    return {
+        "width": int(img.shape[1]),
+        "height": int(img.shape[0]),
+        "channels": 1 if img.ndim == 2 else int(img.shape[2]),
+        "size_bytes": int(img.nbytes),
+        "dtype": str(img.dtype),
+    }
+
 
 class MediaResolver:
     """Stateless-per-call resolver; hold one per actor (warm state slot)."""

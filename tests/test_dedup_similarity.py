@@ -1,0 +1,131 @@
+"""Dedup + similarity operator tests on corpora with PLANTED duplicates
+(the generic benchmark tables have none, so these build their own)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from medical_and_charity_document_extraction_system_ray.functions.text import (
+    stable_hash64,
+    token_count,
+)
+from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+    minhash_signatures,
+    q_dedup_exact,
+    q_minhash_lsh_pairs,
+    q_simhash_pairs,
+    simhash64,
+)
+from medical_and_charity_document_extraction_system_ray.pipelines.similarity import (
+    q_knn_bruteforce,
+    q_knn_ivf,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the charity "
+    "hospital issues a receipt for the donation of five hundred rupees "
+    "to the patient welfare fund registered under the trust act"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dup")
+    rng = np.random.default_rng(11)
+    words = BASE.split()
+    rows = []
+    for i in range(40):
+        shuffled = " ".join(
+            np.random.default_rng(i).permutation(words).tolist()
+        )
+        rows.append({"doc_id": i, "text": shuffled, "lang": "en",
+                     "source": f"src{i%4}", "n_chars": len(shuffled)})
+    # exact duplicates: 100 == 0
+    rows.append(dict(rows[0], doc_id=100))
+    # near duplicate: 101 = doc 1 with one word changed
+    t1 = rows[1]["text"].split()
+    t1[3] = "elephant"
+    rows.append({"doc_id": 101, "text": " ".join(t1), "lang": "en",
+                 "source": "src0", "n_chars": 1})
+    path = root / "documents.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), str(path))
+    return str(root)
+
+
+def test_exact_dedup_groups_duplicates(dup_corpus):
+    out = q_dedup_exact(dup_corpus).to_pandas()
+    # 42 rows, 41 distinct texts: doc 0/100 collapse to keeper 0
+    assert len(out) == 41
+    keeper = out[out["n_dups"] == 2]
+    assert keeper["doc_id"].tolist() == [0]
+
+
+def test_minhash_finds_near_duplicate(dup_corpus):
+    pairs = q_minhash_lsh_pairs(dup_corpus, jaccard_threshold=0.3).to_pandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 100) in found      # exact dup, jaccard 1.0
+    assert (1, 101) in found      # near dup
+    exact = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 100)]
+    assert float(exact["jaccard"].iloc[0]) == 1.0
+
+
+def test_simhash_flags_duplicates(dup_corpus):
+    pairs = q_simhash_pairs(dup_corpus, max_hamming=3).to_pandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 100) in found
+    ham0 = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 100)]["hamming"].iloc[0]
+    assert ham0 == 0
+
+
+def test_minhash_signature_properties():
+    texts = pa.array([BASE, BASE, "completely different words entirely here now"])
+    rows, sig = minhash_signatures(texts)
+    assert sig.shape == (3, 64)
+    assert (sig[0] == sig[1]).all()          # identical text -> identical sig
+    assert (sig[0] == sig[2]).mean() < 0.3   # unrelated text -> mostly different
+
+
+def test_simhash_hamming_monotonicity():
+    a = simhash64(pa.array([BASE]))[0]
+    near = BASE.replace("fox", "cat")
+    b = simhash64(pa.array([near]))[0]
+    far = simhash64(pa.array(["unrelated totally distinct content again"]))[0]
+    ham = lambda x, y: bin(int(x) ^ int(y)).count("1")
+    assert ham(a, b) < ham(a, far)
+
+
+def test_knn_bruteforce_self_top1(dup_corpus, tmp_path):
+    # embeddings fixture: 50 vectors, vec 7 duplicated as vec 49
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(50, 16)).astype(np.float32)
+    mat[49] = mat[7]
+    emb_dir = tmp_path / "emb"
+    emb_dir.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in mat],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array([0] * 50, pa.int32())}),
+        str(tmp_path / "emb" / "x.parquet"),
+    )
+    import shutil
+    shutil.copy(str(tmp_path / "emb" / "x.parquet"), str(tmp_path / "embeddings.parquet"))
+    out = q_knn_bruteforce(str(tmp_path), query_vec_id=0, k=5).to_pandas()
+    assert out["vec_id"].iloc[0] == 0         # self match first
+    assert out["cosine"].iloc[0] == 1.0
+
+
+def test_token_count_matches_python_split():
+    texts = ["a b  c", "", "   ", "one", " x\ty \n z "]
+    got = token_count(pa.array(texts)).to_pylist()
+    assert got == [len(t.split()) for t in texts]
+
+
+def test_stable_hash64_deterministic_and_spread():
+    a = stable_hash64(pa.array(["x", "y", "x", ""]))
+    assert a[0] == a[2]
+    assert a[0] != a[1]
+    many = stable_hash64(pa.array([f"doc {i}" for i in range(1000)]))
+    assert len(set(many.tolist())) == 1000
