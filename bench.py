@@ -82,7 +82,11 @@ def run_bench() -> dict:
     ds = ray.data.read_parquet(path)
     out = extract_documents(
         ds,
-        ocr_concurrency=max(2, NUM_CPUS - 2),
+        # pool sized to ~3/4 of the session CPUs: proportional across
+        # scaling legs (a flat NUM_CPUS-2 gives the small leg relatively
+        # more spare CPU for the read/shuffle stages and skews the
+        # efficiency comparison)
+        ocr_concurrency=max(2, (NUM_CPUS * 3) // 4),
         ocr_batch_size=128,
         num_cpus=1,
         # break explode->extract operator fusion and rebalance span rows:
