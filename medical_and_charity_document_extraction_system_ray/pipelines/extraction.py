@@ -40,6 +40,7 @@ def extract_spans(
     ocr_batch_size: int = 256,
     num_cpus: float = 1,
     repartition_blocks: int | None = None,
+    keep_words: bool = False,
 ) -> ray.data.Dataset:
     """Documents -> extracted span rows (before reassembly)."""
     ds = ds.map_batches(
@@ -54,6 +55,7 @@ def extract_spans(
             "language": language,
             "preprocess": preprocess,
             "document_type": document_type,
+            "keep_words": keep_words,
         },
         batch_format="pyarrow",
         batch_size=ocr_batch_size,

@@ -65,7 +65,32 @@ EXTRACTED_ROWS_SCHEMA = pa.schema(
         pa.field("language", pa.string()),
         # error-row semantics (ocr_service.py:229-243): errors become data
         pa.field("error", pa.string()),       # "" when success
+        pa.field("error_code", pa.string()),  # exception class name ("" when success)
         pa.field("success", pa.bool_()),
+    ]
+)
+
+# per-word OCR results (golden-output shape, storage/json_tasks/task_1.json:
+# pages[].words[].{text,confidence,bbox{left,top,width,height},block_num,
+# line_num,word_num}); attached to span rows only when keep_words=True
+WORD_STRUCT = pa.struct(
+    [
+        pa.field("text", pa.string()),
+        pa.field("confidence", pa.float64()),
+        pa.field(
+            "bbox",
+            pa.struct(
+                [
+                    pa.field("left", pa.int32()),
+                    pa.field("top", pa.int32()),
+                    pa.field("width", pa.int32()),
+                    pa.field("height", pa.int32()),
+                ]
+            ),
+        ),
+        pa.field("block_num", pa.int32()),
+        pa.field("line_num", pa.int32()),
+        pa.field("word_num", pa.int32()),
     ]
 )
 

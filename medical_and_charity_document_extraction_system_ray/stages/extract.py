@@ -37,7 +37,12 @@ import pyarrow.compute as pc
 from ..engines import create_ocr_engine
 from ..kernels.preprocess import PreprocessConfig, preprocess_image_array
 from ..fixtures.media import encode_text_image
-from ..schema import DIRECT_CONFIDENCE, EXTRACTED_ROWS_SCHEMA, KIND_TEXT
+from ..schema import (
+    DIRECT_CONFIDENCE,
+    EXTRACTED_ROWS_SCHEMA,
+    KIND_TEXT,
+    WORD_STRUCT,
+)
 from ..sources.media_resolver import MediaResolver
 
 
@@ -48,12 +53,16 @@ class SpanExtractor:
         language: str = "eng",
         preprocess: bool = True,
         document_type: str = "general",
+        keep_words: bool = False,
     ):
         self.engine = create_ocr_engine(engine, language=language)
         self.engine.initialize()
         self.resolver = MediaResolver()
         self.preprocess = preprocess
         self.config = PreprocessConfig.for_document_type(document_type)
+        # per-word boxes (golden-output parity) bloat the reassembly
+        # shuffle ~5-10x, so they are opt-in
+        self.keep_words = keep_words
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -69,7 +78,9 @@ class SpanExtractor:
         engine_name: list[str | None] = [None] * n
         language: list[str | None] = [None] * n
         error: list[str] = [""] * n
+        error_code: list[str] = [""] * n
         success = np.ones(n, dtype=bool)
+        words: list[list] = [[] for _ in range(n)] if self.keep_words else []
 
         # --- direct-text branch: vectorized -------------------------------
         direct_idx = np.nonzero(~scanned)[0]
@@ -95,15 +106,20 @@ class SpanExtractor:
                 char_count[i] = result["character_count"]
                 engine_name[i] = result["engine"]
                 language[i] = result["language"]
+                if self.keep_words:
+                    words[i] = result.get("words", [])
             except Exception as e:  # error-row semantics: errors become data
                 out_text[i] = ""
                 conf[i] = 0.0
                 word_count[i] = 0
                 char_count[i] = 0
                 error[i] = str(e)
+                # structured error taxonomy analog (exceptions.py:4-280):
+                # the exception class name is the stable error code
+                error_code[i] = type(e).__name__
                 success[i] = False
 
-        return pa.Table.from_arrays(
+        out = pa.Table.from_arrays(
             [
                 batch.column("doc_id"),
                 batch.column("offset"),
@@ -118,7 +134,13 @@ class SpanExtractor:
                 pa.array(engine_name, type=pa.string()),
                 pa.array(language, type=pa.string()),
                 pa.array(error, type=pa.string()),
+                pa.array(error_code, type=pa.string()),
                 pa.array(success),
             ],
             schema=EXTRACTED_ROWS_SCHEMA,
         )
+        if self.keep_words:
+            out = out.append_column(
+                "words", pa.array(words, type=pa.list_(WORD_STRUCT))
+            )
+        return out

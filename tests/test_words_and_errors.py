@@ -1,0 +1,90 @@
+"""Golden-output parity extras: per-word boxes (keep_words) and the
+structured error-code column; giant-document skew reassembly."""
+
+import pyarrow as pa
+import ray.data
+
+from medical_and_charity_document_extraction_system_ray.pipelines.extraction import (
+    extract_documents,
+    extract_spans,
+)
+from medical_and_charity_document_extraction_system_ray.schema import (
+    DOCUMENTS_SCHEMA,
+)
+from medical_and_charity_document_extraction_system_ray.stages import SpanExtractor
+
+
+def _doc(doc_id, spans):
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def test_keep_words_golden_shape():
+    # media-dominant doc -> scanned -> OCR path emits per-word boxes
+    docs = pa.Table.from_pylist(
+        [
+            _doc(
+                "w1",
+                [
+                    {"kind": "media", "text": "", "media_ref": "mem://w1/0", "offset": 0},
+                ],
+            )
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    rows = extract_spans(
+        ray.data.from_arrow(docs), ocr_concurrency=1, keep_words=True
+    ).take_all()
+    assert len(rows) == 1
+    words = rows[0]["words"]
+    assert len(words) >= 1
+    w = words[0]
+    assert set(w) == {"text", "confidence", "bbox", "block_num", "line_num", "word_num"}
+    assert set(w["bbox"]) == {"left", "top", "width", "height"}
+    assert rows[0]["text"].split()[0] == w["text"]
+
+
+def test_error_code_column():
+    batch = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "e1", "offset": 0, "kind": "media", "text": "",
+                "media_ref": "s3://x/y.png", "is_scanned": True, "page_count": 1,
+            }
+        ]
+    )
+    row = SpanExtractor()(batch).to_pylist()[0]
+    assert row["success"] is False
+    assert row["error_code"] == "NotImplementedError"
+    # happy rows carry empty code
+    batch2 = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "e2", "offset": 0, "kind": "text", "text": "hello",
+                "media_ref": "", "is_scanned": False, "page_count": 1,
+            }
+        ]
+    )
+    row2 = SpanExtractor()(batch2).to_pylist()[0]
+    assert row2["error_code"] == "" and row2["success"] is True
+
+
+def test_giant_document_reassembles_in_order():
+    # 2,000-span text-only doc (skew case): offsets shuffled on input
+    n = 2000
+    spans = [
+        {"kind": "text", "text": f"p{k}", "media_ref": "", "offset": k}
+        for k in range(n)
+    ]
+    import random
+
+    random.Random(0).shuffle(spans)
+    docs = pa.Table.from_pylist([_doc("giant", spans)], schema=DOCUMENTS_SCHEMA)
+    out = extract_documents(
+        ray.data.from_arrow(docs), ocr_concurrency=2, repartition_blocks=8
+    ).take_all()
+    assert len(out) == 1
+    got = out[0]
+    assert got["page_count"] == n
+    assert [s["offset"] for s in got["spans"]] == list(range(n))
+    assert got["spans"][1234]["text"] == "p1234"
+    assert got["text"].startswith("--- Page 1 ---\np0\n\n--- Page 2 ---\np1")
