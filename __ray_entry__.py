@@ -50,9 +50,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_flags": relational.q_distinct_flags,
         "union_nation_counts": relational.q_union_nation_counts,
         "merge_documents": relational.q_merge_documents,
+        "quantity_quantiles": relational.q_quantity_quantiles,
         # stream-shaped
         "hourly_event_stats": events.q_hourly_event_stats,
         "sessionize": events.q_sessionize,
+        "asof_view_before_click": events.q_asof_view_before_click,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
@@ -85,6 +87,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_documents": relational.Q_MERGE_SQL,
         "hourly_event_stats": events.Q_HOURLY_SQL,
         "sessionize": events.Q_SESSIONIZE_SQL,
+        "asof_view_before_click": events.Q_ASOF_SQL,
+        "quantity_quantiles": relational.Q_QUANTILES_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,

@@ -128,3 +128,59 @@ SELECT user_id,
        MAX(n) AS max_session_events
 FROM per_session GROUP BY user_id
 """
+
+
+def q_asof_view_before_click(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: for every 'click', the most recent strictly-prior
+    'view' by the same user (custom operator — Ray Data has no asof
+    join; composed as groupby(user) + pd.merge_asof per group, the
+    bucketed-sort pattern from the ray guide).  Partitioning
+    assumption: all events of a user fit one group."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["click", "view"]))
+        return t.filter(keep)
+
+    ds = ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, grp in g.groupby("user_id", sort=True):
+            clicks = (
+                grp[grp.event_type == "click"][["ts"]]
+                .sort_values("ts")
+                .rename(columns={"ts": "click_ts"})
+            )
+            views = (
+                grp[grp.event_type == "view"][["ts", "value"]]
+                .sort_values("ts")
+                .rename(columns={"ts": "view_ts", "value": "view_value"})
+            )
+            if clicks.empty or views.empty:
+                continue
+            m = pd.merge_asof(
+                clicks,
+                views,
+                left_on="click_ts",
+                right_on="view_ts",
+                direction="backward",
+                allow_exact_matches=False,
+            ).dropna(subset=["view_ts"])
+            m.insert(0, "user_id", uid)
+            outs.append(m)
+        if not outs:
+            return pd.DataFrame(
+                columns=["user_id", "click_ts", "view_ts", "view_value"]
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+Q_ASOF_SQL = """
+SELECT a.user_id, a.ts AS click_ts, b.ts AS view_ts, b.value AS view_value
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') a
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') b
+  ON a.user_id = b.user_id AND a.ts > b.ts
+"""

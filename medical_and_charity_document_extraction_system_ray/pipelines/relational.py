@@ -346,3 +346,51 @@ SELECT source, COUNT(*) AS n_docs,
        STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id) AS merged_text
 FROM documents GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles (median / p90) per group
+# ---------------------------------------------------------------------------
+
+def q_quantity_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-flag median and p90 of quantity.
+
+    Exact quantiles need the full value set per key — a keyed shuffle
+    plus per-group numpy; at petabyte scale swap in a mergeable KLL
+    sketch computed per batch (same groupby shape, approximate)."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_returnflag": t["l_returnflag"], "qty_c": _cents(t["l_quantity"])}
+        )
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, grp in g.groupby("l_returnflag", sort=True):
+            c = grp["qty_c"].to_numpy(dtype=np.float64)
+            rows.append(
+                {
+                    "l_returnflag": flag,
+                    "n": len(c),
+                    "median_qty": np.floor(np.median(c) / 100.0 * 1e6 + 1e-3) / 1e6,
+                    "p90_qty": np.floor(
+                        np.percentile(c, 90, method="linear") / 100.0 * 1e6 + 1e-3
+                    ) / 1e6,
+                }
+            )
+        return pd.DataFrame(rows, columns=["l_returnflag", "n", "median_qty", "p90_qty"])
+
+    return ds.groupby("l_returnflag").map_groups(quantiles, batch_format="pandas")
+
+
+Q_QUANTILES_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       FLOOR(median(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) / 100.0 * 1000000 + 0.001) / 1000000 AS median_qty,
+       FLOOR(quantile_cont(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT), 0.9) / 100.0 * 1000000 + 0.001) / 1000000 AS p90_qty
+FROM lineitem GROUP BY l_returnflag
+"""
