@@ -25,6 +25,7 @@ from medical_and_charity_document_extraction_system_ray.pipelines import (
     multimodal,
     relational,
     similarity,
+    sketches,
     text_analysis,
 )
 
@@ -60,6 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text_analysis.q_quality_scores,
         "lang_id": text_analysis.q_lang_id,
         "fingerprints": text_analysis.q_fingerprints,
+        # sketches
+        "distinct_users_exact": sketches.q_distinct_users_exact,
+        "approx_distinct_users": sketches.q_approx_distinct_users,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
@@ -91,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "quantity_quantiles": relational.Q_QUANTILES_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
+        "distinct_users_exact": sketches.Q_DISTINCT_USERS_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
         "embedding_neardup": dedup.Q_EMB_NEARDUP_SQL,
         "knn_bruteforce": similarity.Q_KNN_SQL,

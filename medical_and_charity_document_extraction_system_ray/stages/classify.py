@@ -59,13 +59,22 @@ def classify_batch(batch: pa.Table) -> pa.Table:
     ).append_column("page_count", page_count)
 
 
+EMPTY_DOC_KIND = "__empty__"  # sentinel span for zero-page documents
+
+
 def explode_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, spans, is_scanned, page_count) -> one row per span."""
+    """(doc_id, spans, is_scanned, page_count) -> one row per span.
+
+    A document with an empty ``spans`` list would otherwise vanish from
+    the pipeline; it gets one sentinel row (kind ``__empty__``) that the
+    extractor passes through and reassembly turns into the reference's
+    empty-document result (0 pages, empty text, direct path —
+    ``pdf_service.py:182-211`` with no pages)."""
     spans = batch.column("spans").combine_chunks()
     flat = pc.list_flatten(spans)
     parent = pc.list_parent_indices(spans)
 
-    return pa.Table.from_arrays(
+    out = pa.Table.from_arrays(
         [
             pc.take(batch.column("doc_id"), parent),
             pc.struct_field(flat, "offset"),
@@ -77,6 +86,25 @@ def explode_batch(batch: pa.Table) -> pa.Table:
         ],
         schema=SPAN_ROWS_SCHEMA,
     )
+
+    empty_mask = pc.equal(pc.list_value_length(spans), 0)
+    if pc.any(empty_mask).as_py():
+        empties = batch.filter(empty_mask)
+        n = len(empties)
+        sentinel = pa.Table.from_arrays(
+            [
+                empties.column("doc_id"),
+                pa.array([0] * n, pa.int32()),
+                pa.array([EMPTY_DOC_KIND] * n),
+                pa.array([""] * n),
+                pa.array([""] * n),
+                empties.column("is_scanned"),
+                empties.column("page_count"),
+            ],
+            schema=SPAN_ROWS_SCHEMA,
+        )
+        out = pa.concat_tables([out, sentinel])
+    return out
 
 
 def classify_and_explode(batch: pa.Table) -> pa.Table:

@@ -55,6 +55,25 @@ def reassemble_table(t: pa.Table) -> pa.Table:
 
     rows = []
     for s, e in zip(starts, ends):
+        if e - s == 1 and kinds[s] == "__empty__":
+            # zero-page document sentinel (stages/classify.py): the
+            # reference's direct path over no pages
+            rows.append(
+                {
+                    "doc_id": ids[s],
+                    "is_scanned": False,
+                    "processing_method": "direct_text_extraction",
+                    "page_count": 0,
+                    "total_characters": 0,
+                    "total_words": 0,
+                    "average_confidence": DIRECT_CONFIDENCE,
+                    "text": "",
+                    "engine": None,
+                    "language": None,
+                    "spans": [],
+                }
+            )
+            continue
         pages = texts[s:e]
         full_text = PAGE_SEP.join(
             PAGE_HEADER.format(n=i + 1) + p for i, p in enumerate(pages)

@@ -129,3 +129,27 @@ def test_stable_hash64_deterministic_and_spread():
     assert a[0] != a[1]
     many = stable_hash64(pa.array([f"doc {i}" for i in range(1000)]))
     assert len(set(many.tolist())) == 1000
+
+
+def test_kmv_sketch_accuracy():
+    from medical_and_charity_document_extraction_system_ray.functions.sketches import (
+        kmv_estimate,
+        kmv_from_hashes,
+        kmv_merge,
+    )
+    from medical_and_charity_document_extraction_system_ray.pipelines.sketches import (
+        _hash_ids,
+    )
+
+    rng = np.random.default_rng(0)
+    ids = rng.choice(100_000, size=40_000, replace=False).astype(np.int64)
+    true = len(set(ids.tolist()))
+    k = 256
+    # split into 8 'batches', sketch each, merge — mergeability property
+    parts = [kmv_from_hashes(_hash_ids(c), k) for c in np.array_split(ids, 8)]
+    merged = kmv_merge(parts, k)
+    est = kmv_estimate(merged, k)
+    assert abs(est - true) / true < 0.15
+    # small sets are exact
+    small = kmv_from_hashes(_hash_ids(np.arange(50, dtype=np.int64)), k)
+    assert kmv_estimate(small, k) == 50.0

@@ -88,3 +88,33 @@ def test_giant_document_reassembles_in_order():
     assert [s["offset"] for s in got["spans"]] == list(range(n))
     assert got["spans"][1234]["text"] == "p1234"
     assert got["text"].startswith("--- Page 1 ---\np0\n\n--- Page 2 ---\np1")
+
+
+def test_zero_span_document_survives():
+    # reference semantics: 0-page PDF -> not scanned, empty direct result
+    docs = pa.Table.from_pylist(
+        [
+            _doc("empty", []),
+            _doc("normal", [
+                {"kind": "text", "text": "hello " * 30, "media_ref": "", "offset": 0}
+            ]),
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in extract_documents(
+        ray.data.from_arrow(docs), ocr_concurrency=1
+    ).take_all()}
+    assert set(out) == {"empty", "normal"}
+    e = out["empty"]
+    assert e["page_count"] == 0
+    assert e["text"] == "" and e["spans"] == []
+    assert e["processing_method"] == "direct_text_extraction"
+    assert e["average_confidence"] == 100.0
+
+    from medical_and_charity_document_extraction_system_ray.oracle import (
+        extract_document,
+    )
+    want = extract_document({"doc_id": "empty", "spans": []})
+    for k in ("page_count", "text", "total_characters", "total_words",
+              "average_confidence", "processing_method", "spans"):
+        assert e[k] == want[k], k
