@@ -25,11 +25,13 @@ from typing import Any
 
 from .engines import create_ocr_engine
 from .fixtures.media import encode_text_image
+from .kernels.html import strip_boilerplate
 from .kernels.preprocess import PreprocessConfig, preprocess_image_array
 from .schema import (
     CLASSIFIER_SAMPLE_PAGES,
     CLASSIFIER_THRESHOLD_CHARS,
     DIRECT_CONFIDENCE,
+    KIND_HTML,
     KIND_TEXT,
     PAGE_HEADER,
     PAGE_SEP,
@@ -63,7 +65,10 @@ def extract_document(
     is_scanned = classify_document(doc["spans"])
 
     if not is_scanned:
-        pages = [s["text"] for s in spans]
+        pages = [
+            strip_boilerplate(s["text"]) if s["kind"] == KIND_HTML else s["text"]
+            for s in spans
+        ]
         full_text = PAGE_SEP.join(
             PAGE_HEADER.format(n=i + 1) + p for i, p in enumerate(pages)
         )
@@ -81,11 +86,11 @@ def extract_document(
             "spans": [
                 {
                     "kind": s["kind"],
-                    "text": s["text"],
+                    "text": p,  # extracted page text (stripped for html)
                     "media_ref": s["media_ref"],
                     "offset": s["offset"],
                 }
-                for s in spans
+                for s, p in zip(spans, pages)
             ],
         }
 
@@ -106,6 +111,17 @@ def extract_document(
     page_results: list[dict[str, Any]] = []
     for s in spans:
         try:
+            if s["kind"] == KIND_HTML:
+                t = strip_boilerplate(s["text"])
+                page_results.append(
+                    {
+                        "text": t,
+                        "confidence": DIRECT_CONFIDENCE,
+                        "word_count": len(t.split()),
+                        "character_count": len(t),
+                    }
+                )
+                continue
             if s["kind"] == KIND_TEXT:
                 img = encode_text_image(s["text"])
             else:

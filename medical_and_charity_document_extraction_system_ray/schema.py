@@ -14,6 +14,7 @@ import pyarrow as pa
 
 KIND_TEXT = "text"
 KIND_MEDIA = "media"
+KIND_HTML = "html"  # html source in `text`; extraction = boilerplate strip
 
 # --- input ---------------------------------------------------------------
 

@@ -35,11 +35,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..engines import create_ocr_engine
+from ..kernels.html import strip_boilerplate
 from ..kernels.preprocess import PreprocessConfig, preprocess_image_array
 from ..fixtures.media import encode_text_image
 from ..schema import (
     DIRECT_CONFIDENCE,
     EXTRACTED_ROWS_SCHEMA,
+    KIND_HTML,
     KIND_TEXT,
     WORD_STRUCT,
 )
@@ -82,10 +84,12 @@ class SpanExtractor:
         success = np.ones(n, dtype=bool)
         words: list[list] = [[] for _ in range(n)] if self.keep_words else []
 
-        # --- direct-text branch: vectorized -------------------------------
+        # --- direct-text branch -------------------------------------------
         direct_idx = np.nonzero(~scanned)[0]
         for i in direct_idx:
-            t = text_in[i]
+            # html spans get main-content extraction (boilerplate strip)
+            # on both branches — the north-rule DOM-density path
+            t = strip_boilerplate(text_in[i]) if kind[i] == KIND_HTML else text_in[i]
             out_text[i] = t
             char_count[i] = len(t)
         conf[direct_idx] = DIRECT_CONFIDENCE
@@ -93,6 +97,13 @@ class SpanExtractor:
         # --- OCR branch: per-image ----------------------------------------
         for i in np.nonzero(scanned)[0]:
             try:
+                if kind[i] == KIND_HTML:
+                    t = strip_boilerplate(text_in[i])
+                    out_text[i] = t
+                    conf[i] = DIRECT_CONFIDENCE
+                    word_count[i] = len(t.split())
+                    char_count[i] = len(t)
+                    continue
                 if kind[i] == KIND_TEXT:
                     img = encode_text_image(text_in[i])  # rasterize the page
                 else:
