@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": similarity.q_knn_ivf,
         # multimodal plumbing
         "media_features": multimodal.q_media_features,
+        "page_regions": multimodal.q_page_regions,
     }
 
 

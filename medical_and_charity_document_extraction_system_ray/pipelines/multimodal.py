@@ -136,3 +136,75 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+class LayoutAnalyzer:
+    """Actor: media_ref -> binarized page -> layout regions
+    (kernels/layout.py).  Page-region classification stage of the
+    north rule; shares the warm-resolver actor pattern with OCR."""
+
+    def __init__(self):
+        from ..kernels import binarizer
+
+        self.resolver = MediaResolver()
+        self.binarize = binarizer.binarize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.layout import analyze_layout
+
+        refs = batch.column("media_ref").to_pylist()
+        n = len(refs)
+        n_lines = np.zeros(n, np.int32)
+        n_seps = np.zeros(n, np.int32)
+        n_noise = np.zeros(n, np.int32)
+        ink_ratio = np.zeros(n, np.float64)
+        success = np.ones(n, bool)
+        for i, ref in enumerate(refs):
+            try:
+                img = self.resolver.resolve(ref)
+                lay = analyze_layout(self.binarize(img))
+                n_lines[i] = lay["n_text_lines"]
+                n_seps[i] = lay["n_separators"]
+                n_noise[i] = lay["n_noise"]
+                ink_ratio[i] = np.floor(lay["ink_ratio"] * 1e6) / 1e6
+            except Exception:
+                success[i] = False
+        cols = {name: batch.column(name) for name in batch.column_names}
+        cols.update(
+            n_text_lines=pa.array(n_lines),
+            n_separators=pa.array(n_seps),
+            n_noise=pa.array(n_noise),
+            ink_ratio=pa.array(ink_ratio),
+            success=pa.array(success),
+        )
+        return pa.table(cols)
+
+
+def q_page_regions(sf_dir: str) -> ray.data.Dataset:
+    """Layout analysis over every media span of the derived corpus.
+    Rows-only oracle (geometry heuristics are not SQL-expressible)."""
+    import pyarrow.compute as pc
+
+    from ..sources.derive import flat_to_interleaved
+    from ..sources.readers import read_table
+    from ..stages.classify import classify_and_explode
+
+    flat = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = flat.map_batches(flat_to_interleaved, batch_format="pyarrow")
+    spans = docs.map_batches(classify_and_explode, batch_format="pyarrow")
+    media = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")).select(
+            ["doc_id", "offset", "media_ref"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = media.map_batches(
+        LayoutAnalyzer, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["doc_id", "offset", "n_text_lines", "n_separators", "n_noise",
+             "ink_ratio", "success"]
+        ),
+        batch_format="pyarrow",
+    )
