@@ -28,11 +28,17 @@ def floor6(x: np.ndarray | float):
 
 
 def token_count(text: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Whitespace token count == python ``len(s.split())``."""
-    # split_pattern with a regex empty-run handling differs; count
-    # non-space runs instead: trim, then count transitions.
-    trimmed = pc.utf8_trim_whitespace(text)
-    # number of whitespace runs inside trimmed text + 1 (0 if empty)
+    """Whitespace token count, bit-identical to the DuckDB expression
+
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+
+    Both sides run RE2 ``\\s`` (ASCII whitespace — does NOT match
+    unicode spaces like NBSP, unlike python ``str.split``) and DuckDB
+    ``trim`` strips only ASCII spaces, so the trim here does too.
+    Property-tested against live DuckDB in tests/test_property.py.
+    """
+    trimmed = pc.utf8_trim(text, " ")
     counts = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
     return pc.if_else(pc.equal(pc.utf8_length(trimmed), 0), 0, counts)
 
