@@ -146,6 +146,49 @@ def run_bench() -> dict:
     }
 
 
+def _reference_worker(args):
+    """One simulated reference worker: strictly sequential
+    document-at-a-time processing with a per-process engine cache —
+    the reference's execution model (ocr_service.py:130-159 sequential
+    loop; settings.py:18 WORKERS=4)."""
+    path, lo, hi = args
+    import pyarrow.parquet as pq
+
+    from medical_and_charity_document_extraction_system_ray.oracle import extract_table
+
+    docs = pq.read_table(path).slice(lo, hi - lo).to_pylist()
+    out = extract_table(docs)
+    return len(out)
+
+
+def run_reference_baseline() -> dict:
+    """Throughput of the reference ARCHITECTURE on identical work:
+    4 worker processes (uvicorn WORKERS=4), each a sequential per-doc
+    loop running the same kernels/engine the Ray pipeline uses.  This
+    is the single-node number the engine must match-or-beat."""
+    import multiprocessing as mp
+
+    n = min(BENCH_DOCS, int(os.environ.get("GRAFT_REF_DOCS", "1500")))
+    path = _fixture_path(n)
+    workers = 4
+    bounds = [
+        (path, i * n // workers, (i + 1) * n // workers) for i in range(workers)
+    ]
+    t0 = time.time()
+    with mp.Pool(workers) as p:
+        done = sum(p.map(_reference_worker, bounds))
+    wall = time.time() - t0
+    return {
+        "metric": "reference-architecture baseline: 4 sequential worker "
+        "processes, document-at-a-time, same kernels/engine",
+        "docs": done,
+        "value": round(wall, 3),
+        "unit": "sec",
+        "docs_per_sec": round(done / wall, 2),
+        "workers": workers,
+    }
+
+
 def _burn(_):
     import numpy as np
 
@@ -178,7 +221,7 @@ def run_scaling() -> dict:
     # a larger corpus than the plain bench so fixed costs (actor-pool
     # startup, barriers) amortize and the measurement reflects steady
     # state; also pulls in the >=10k-doc giant-document skew case
-    scale_docs = int(os.environ.get("GRAFT_SCALE_DOCS", "12000"))
+    scale_docs = int(os.environ.get("GRAFT_SCALE_DOCS", "24000"))
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -217,5 +260,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--reference" in sys.argv:
+        print(json.dumps(run_reference_baseline()))
     else:
         print(json.dumps(run_bench()))
