@@ -52,10 +52,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_nation_counts": relational.q_union_nation_counts,
         "merge_documents": relational.q_merge_documents,
         "quantity_quantiles": relational.q_quantity_quantiles,
+        "customers_without_orders": relational.q_customers_without_orders,
+        "top_orders_per_customer": relational.q_top_orders_per_customer,
         # stream-shaped
         "hourly_event_stats": events.q_hourly_event_stats,
         "sessionize": events.q_sessionize,
         "asof_view_before_click": events.q_asof_view_before_click,
+        "running_user_value": events.q_running_user_value,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
@@ -94,6 +97,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": events.Q_SESSIONIZE_SQL,
         "asof_view_before_click": events.Q_ASOF_SQL,
         "quantity_quantiles": relational.Q_QUANTILES_SQL,
+        "customers_without_orders": relational.Q_ANTI_SQL,
+        "top_orders_per_customer": relational.Q_TOP_PER_CUST_SQL,
+        "running_user_value": events.Q_RUNNING_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "distinct_users_exact": sketches.Q_DISTINCT_USERS_SQL,

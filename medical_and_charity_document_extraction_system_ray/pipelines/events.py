@@ -184,3 +184,46 @@ FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') a
 ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') b
   ON a.user_id = b.user_id AND a.ts > b.ts
 """
+
+
+def q_running_user_value(sf_dir: str) -> ray.data.Dataset:
+    """Per-user running total of value in event-time order (window
+    function analog): keyed shuffle, ts sort within group, exact
+    integer-cents cumsum."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"], "value_c": _cents(t["value"])}
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, grp in g.groupby("user_id", sort=True):
+            grp = grp.sort_values("ts")
+            cum = grp["value_c"].cumsum() / 100.0
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": uid,
+                        "ts": grp["ts"].to_numpy(),
+                        "running_value": cum.to_numpy(),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(columns=["user_id", "ts", "running_value"])
+        return pd.concat(out, ignore_index=True)
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+Q_RUNNING_SQL = """
+SELECT user_id, ts,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) / 100.0 AS running_value
+FROM events
+"""

@@ -394,3 +394,73 @@ SELECT l_returnflag, COUNT(*) AS n,
        FLOOR(quantile_cont(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT), 0.9) / 100.0 * 1000000 + 0.001) / 1000000 AS p90_qty
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Anti join: customers with no orders (broadcast NOT-IN)
+# ---------------------------------------------------------------------------
+
+def q_customers_without_orders(sf_dir: str) -> ray.data.Dataset:
+    """Anti join via a broadcast key set (ray guide: semi/anti =
+    broadcast the key set, filter inside map_batches — no shuffle):
+    customers who never produced a 'purchase' event."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    keys: set[int] = set()
+    for b in ev.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        m = pc.equal(b["event_type"], "purchase")
+        keys.update(b.filter(m)["user_id"].to_pylist())
+    keys_ref = ray.put(np.fromiter(keys, dtype=np.int64))
+
+    def anti(t: pa.Table) -> pa.Table:
+        have = ray.get(keys_ref)
+        mask = ~np.isin(t["c_custkey"].to_numpy(zero_copy_only=False), have)
+        return t.filter(pa.array(mask))
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM events
+                  WHERE user_id = c_custkey AND event_type = 'purchase')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k: top 2 orders per customer by (totalprice, orderkey)
+# ---------------------------------------------------------------------------
+
+def q_top_orders_per_customer(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+    """Per-key top-k: keyed shuffle + per-group sort/head — the window
+    row_number() analog."""
+    import pandas as pd
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cust, grp in g.groupby("o_custkey", sort=True):
+            top = grp.sort_values(
+                ["o_totalprice", "o_orderkey"], ascending=[False, True]
+            ).head(k)
+            out.append(top)
+        if not out:
+            return pd.DataFrame(columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        return pd.concat(out, ignore_index=True)[
+            ["o_custkey", "o_orderkey", "o_totalprice"]
+        ]
+
+    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+
+
+Q_TOP_PER_CUST_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""

@@ -36,8 +36,10 @@ def classify_batch(batch: pa.Table) -> pa.Table:
     flat = pc.list_flatten(spans)
     parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
     offsets = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False)
+    # null text counts as an empty text layer (dirty real-world input)
+    text = pc.fill_null(pc.struct_field(flat, "text"), "")
     stripped_len = (
-        pc.utf8_length(pc.utf8_trim_whitespace(pc.struct_field(flat, "text")))
+        pc.utf8_length(pc.utf8_trim_whitespace(text))
         .to_numpy(zero_copy_only=False)
         .astype(np.float64)
     )
@@ -78,9 +80,9 @@ def explode_batch(batch: pa.Table) -> pa.Table:
         [
             pc.take(batch.column("doc_id"), parent),
             pc.struct_field(flat, "offset"),
-            pc.struct_field(flat, "kind"),
-            pc.struct_field(flat, "text"),
-            pc.struct_field(flat, "media_ref"),
+            pc.fill_null(pc.struct_field(flat, "kind"), "text"),
+            pc.fill_null(pc.struct_field(flat, "text"), ""),
+            pc.fill_null(pc.struct_field(flat, "media_ref"), ""),
             pc.take(batch.column("is_scanned"), parent),
             pc.take(batch.column("page_count"), parent),
         ],

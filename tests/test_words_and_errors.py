@@ -118,3 +118,28 @@ def test_zero_span_document_survives():
     for k in ("page_count", "text", "total_characters", "total_words",
               "average_confidence", "processing_method", "spans"):
         assert e[k] == want[k], k
+
+
+def test_null_span_fields_tolerated():
+    # dirty input: null text / media_ref / kind inside spans
+    docs = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "n1",
+                "spans": [
+                    {"kind": None, "text": None, "media_ref": None, "offset": 0},
+                    {"kind": "text", "text": "real page content here " * 4,
+                     "media_ref": "", "offset": 1},
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    out = extract_documents(
+        ray.data.from_arrow(docs), ocr_concurrency=1
+    ).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["page_count"] == 2
+    assert r["spans"][0]["text"] == ""  # null treated as empty text layer
+    assert "real page content" in r["spans"][1]["text"]
