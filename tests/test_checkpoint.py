@@ -119,3 +119,21 @@ def test_changed_input_invalidates_partition(sharded_input, tmp_path):
     summary = run_with_checkpoints(sharded_input, out_dir, _pipeline, num_partitions=4)
     assert summary["executed"] == [2]
     assert sorted(summary["skipped"]) == [0, 1, 3]
+
+
+def test_corrupt_manifest_entry_recomputes(sharded_input, tmp_path):
+    out_dir = str(tmp_path / "out")
+    run_with_checkpoints(sharded_input, out_dir, _pipeline, num_partitions=4)
+    # tamper with partition 1's fingerprint -> must recompute just it
+    import json
+
+    mpath = os.path.join(out_dir, "_manifest", "part-00001.json")
+    e = json.load(open(mpath))
+    e["fingerprint"] = "deadbeefdeadbeef"
+    json.dump(e, open(mpath, "w"))
+    summary = run_with_checkpoints(sharded_input, out_dir, _pipeline, num_partitions=4)
+    assert summary["executed"] == [1]
+    assert sorted(summary["skipped"]) == [0, 2, 3]
+    # manifest healed
+    healed = load_manifest(out_dir)[1]
+    assert healed["fingerprint"] != "deadbeefdeadbeef"
