@@ -208,10 +208,12 @@ GROUP BY o_orderpriority
 def q_join_brand_revenue(sf_dir: str) -> ray.data.Dataset:
     """lineitem x part hash-partitioned join, revenue by brand.
 
-    The fact side is pre-aggregated to one row per part key (partial
-    combine in map_batches + a keyed groupby) BEFORE the join, so the
-    hash join only moves |distinct partkey| rows instead of every
-    lineitem — the standard aggregate-pushdown-below-join shape."""
+    The fact side is pre-aggregated per batch to one row per (batch,
+    part key) BEFORE the join — the aggregate-pushdown-below-join
+    shape.  The per-batch partial alone shrinks the join input ~20x;
+    a full pre-join groupby would shrink it further but costs an extra
+    all-to-all that measures slower than letting the post-join
+    groupby(p_brand) absorb the duplicates."""
     li = read_table(
         sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
     )
@@ -226,13 +228,12 @@ def q_join_brand_revenue(sf_dir: str) -> ray.data.Dataset:
         ).group_by("l_partkey").aggregate([("rev_e4", "sum")])
 
     li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    per_part = li.groupby("l_partkey").aggregate(Sum("rev_e4_sum", alias_name="rev_e4"))
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
-    joined = per_part.join(
+    joined = li.join(
         part, join_type="inner", num_partitions=8,
         on=("l_partkey",), right_on=("p_partkey",),
     )
-    agg = joined.groupby("p_brand").aggregate(Sum("rev_e4", alias_name="s"))
+    agg = joined.groupby("p_brand").aggregate(Sum("rev_e4_sum", alias_name="s"))
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table(
