@@ -75,8 +75,15 @@ def extract_documents(
     ocr_batch_size: int = 256,
     num_cpus: float = 1,
     repartition_blocks: int | None = None,
+    include_pages: bool = False,
 ) -> ray.data.Dataset:
-    """Full extraction: documents in, reassembled document results out."""
+    """Full extraction: documents in, reassembled document results out.
+
+    ``include_pages=True`` additionally emits the reference's full
+    ``pages[].words[].bbox`` tree (golden-output shape,
+    storage/json_tasks/task_1.json) — opt-in because the nested word
+    boxes inflate the reassembly shuffle.
+    """
     rows = extract_spans(
         ds,
         engine=engine,
@@ -87,5 +94,10 @@ def extract_documents(
         ocr_batch_size=ocr_batch_size,
         num_cpus=num_cpus,
         repartition_blocks=repartition_blocks,
+        keep_words=include_pages,
     )
-    return rows.groupby("doc_id").map_groups(reassemble_table, batch_format="pyarrow")
+    if include_pages:
+        fn = lambda t: reassemble_table(t, include_pages=True)  # noqa: E731
+    else:
+        fn = reassemble_table
+    return rows.groupby("doc_id").map_groups(fn, batch_format="pyarrow")

@@ -116,6 +116,24 @@ RESULT_SCHEMA = pa.schema(
 PAGE_HEADER = "--- Page {n} ---\n"
 PAGE_SEP = "\n\n"
 
+# per-page result struct (reference pages[] output,
+# ocr_service.py:148-153 + golden storage/json_tasks/task_1.json);
+# attached to document results only when include_pages=True
+PAGE_STRUCT = pa.struct(
+    [
+        pa.field("page_number", pa.int32()),
+        pa.field("text", pa.string()),
+        pa.field("confidence", pa.float64()),
+        pa.field("word_count", pa.int64()),
+        pa.field("character_count", pa.int64()),
+        pa.field("words", pa.list_(WORD_STRUCT)),
+    ]
+)
+
+RESULT_SCHEMA_WITH_PAGES = RESULT_SCHEMA.append(
+    pa.field("pages", pa.list_(PAGE_STRUCT))
+)
+
 # Scanned-vs-text classifier constants (pdf_service.py:231-259)
 CLASSIFIER_SAMPLE_PAGES = 3
 CLASSIFIER_THRESHOLD_CHARS = 50.0

@@ -27,12 +27,19 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..schema import DIRECT_CONFIDENCE, PAGE_HEADER, PAGE_SEP, RESULT_SCHEMA
+from ..schema import (
+    DIRECT_CONFIDENCE,
+    PAGE_HEADER,
+    PAGE_SEP,
+    RESULT_SCHEMA,
+    RESULT_SCHEMA_WITH_PAGES,
+)
 
 
-def reassemble_table(t: pa.Table) -> pa.Table:
+def reassemble_table(t: pa.Table, include_pages: bool = False) -> pa.Table:
+    schema = RESULT_SCHEMA_WITH_PAGES if include_pages else RESULT_SCHEMA
     if len(t) == 0:
-        return pa.Table.from_pylist([], schema=RESULT_SCHEMA)
+        return pa.Table.from_pylist([], schema=schema)
     t = t.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
 
     doc_ids = t.column("doc_id").to_pylist()
@@ -46,6 +53,11 @@ def reassemble_table(t: pa.Table) -> pa.Table:
     cc = t.column("character_count").to_numpy(zero_copy_only=False)
     engines = t.column("engine").to_pylist()
     langs = t.column("language").to_pylist()
+    words = (
+        t.column("words").to_pylist()
+        if include_pages and "words" in t.column_names
+        else None
+    )
 
     # segment boundaries (table is sorted by doc_id)
     ids = np.asarray(doc_ids, dtype=object)
@@ -58,21 +70,22 @@ def reassemble_table(t: pa.Table) -> pa.Table:
         if e - s == 1 and kinds[s] == "__empty__":
             # zero-page document sentinel (stages/classify.py): the
             # reference's direct path over no pages
-            rows.append(
-                {
-                    "doc_id": ids[s],
-                    "is_scanned": False,
-                    "processing_method": "direct_text_extraction",
-                    "page_count": 0,
-                    "total_characters": 0,
-                    "total_words": 0,
-                    "average_confidence": DIRECT_CONFIDENCE,
-                    "text": "",
-                    "engine": None,
-                    "language": None,
-                    "spans": [],
-                }
-            )
+            row = {
+                "doc_id": ids[s],
+                "is_scanned": False,
+                "processing_method": "direct_text_extraction",
+                "page_count": 0,
+                "total_characters": 0,
+                "total_words": 0,
+                "average_confidence": DIRECT_CONFIDENCE,
+                "text": "",
+                "engine": None,
+                "language": None,
+                "spans": [],
+            }
+            if include_pages:
+                row["pages"] = []
+            rows.append(row)
             continue
         pages = texts[s:e]
         full_text = PAGE_SEP.join(
@@ -91,27 +104,40 @@ def reassemble_table(t: pa.Table) -> pa.Table:
             total_words = 0
             engine = None
             language = None
-        rows.append(
-            {
-                "doc_id": ids[s],
-                "is_scanned": is_scanned,
-                "processing_method": method,
-                "page_count": e - s,
-                "total_characters": int(cc[s:e].sum()),
-                "total_words": total_words,
-                "average_confidence": avg,
-                "text": full_text,
-                "engine": engine,
-                "language": language,
-                "spans": [
-                    {
-                        "kind": kinds[i],
-                        "text": texts[i],
-                        "media_ref": media_refs[i],
-                        "offset": offsets[i],
-                    }
-                    for i in range(s, e)
-                ],
-            }
-        )
-    return pa.Table.from_pylist(rows, schema=RESULT_SCHEMA)
+        row = {
+            "doc_id": ids[s],
+            "is_scanned": is_scanned,
+            "processing_method": method,
+            "page_count": e - s,
+            "total_characters": int(cc[s:e].sum()),
+            "total_words": total_words,
+            "average_confidence": avg,
+            "text": full_text,
+            "engine": engine,
+            "language": language,
+            "spans": [
+                {
+                    "kind": kinds[i],
+                    "text": texts[i],
+                    "media_ref": media_refs[i],
+                    "offset": offsets[i],
+                }
+                for i in range(s, e)
+            ],
+        }
+        if include_pages:
+            # reference pages[] tree (page_number sequential from 1,
+            # ocr_service.py:148-153)
+            row["pages"] = [
+                {
+                    "page_number": idx + 1,
+                    "text": texts[i],
+                    "confidence": float(conf[i]),
+                    "word_count": int(wc[i]),
+                    "character_count": int(cc[i]),
+                    "words": (words[i] or []) if words is not None else [],
+                }
+                for idx, i in enumerate(range(s, e))
+            ]
+        rows.append(row)
+    return pa.Table.from_pylist(rows, schema=schema)

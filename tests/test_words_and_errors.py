@@ -143,3 +143,38 @@ def test_null_span_fields_tolerated():
     assert r["page_count"] == 2
     assert r["spans"][0]["text"] == ""  # null treated as empty text layer
     assert "real page content" in r["spans"][1]["text"]
+
+
+def test_include_pages_golden_tree():
+    # the reference's full output tree: pages[].words[].bbox
+    docs = pa.Table.from_pylist(
+        [
+            _doc(
+                "g1",
+                [
+                    {"kind": "media", "text": "", "media_ref": "mem://g1/0", "offset": 0},
+                    {"kind": "media", "text": "", "media_ref": "mem://g1/1", "offset": 1},
+                ],
+            )
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    out = extract_documents(
+        ray.data.from_arrow(docs), ocr_concurrency=1, include_pages=True
+    ).take_all()
+    r = out[0]
+    assert r["page_count"] == 2
+    pages = r["pages"]
+    assert [p["page_number"] for p in pages] == [1, 2]
+    for p, s in zip(pages, r["spans"]):
+        assert p["text"] == s["text"]
+        assert p["character_count"] == len(p["text"])
+        assert p["word_count"] == len(p["words"])
+        if p["words"]:
+            w = p["words"][0]
+            assert set(w["bbox"]) == {"left", "top", "width", "height"}
+    # aggregate math consistent with the pages tree (ocr_service.py:188-227)
+    assert r["total_words"] == sum(p["word_count"] for p in pages)
+    assert r["total_characters"] == sum(p["character_count"] for p in pages)
+    avg = round(sum(p["confidence"] for p in pages) / len(pages), 2)
+    assert r["average_confidence"] == avg
