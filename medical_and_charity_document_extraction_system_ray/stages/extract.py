@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..engines import create_ocr_engine
 from ..kernels.html import strip_boilerplate

@@ -93,7 +93,11 @@ def reassemble_table(t: pa.Table, include_pages: bool = False) -> pa.Table:
         )
         is_scanned = bool(scanned[s])
         if is_scanned:
-            avg = round(float(conf[s:e].sum()) / (e - s), 2)
+            # sequential python sum, NOT numpy pairwise: the oracle
+            # (and the reference, ocr_service.py:210-213) sums floats
+            # left-to-right, and the two orders can differ in the last
+            # ulp right at a round(x, 2) boundary
+            avg = round(sum(conf[s:e].tolist()) / (e - s), 2)
             method = "ocr_pipeline"
             total_words = int(wc[s:e].sum())
             engine = engines[s]
