@@ -107,6 +107,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": dedup.Q_EMB_NEARDUP_SQL,
         "knn_bruteforce": similarity.Q_KNN_SQL,
         # rows-only (non-SQL-expressible): lang_id, fingerprints,
-        # minhash_lsh_pairs, simhash_pairs, ngram_jaccard, knn_ivf,
-        # media_features
+        # approx_distinct_users, minhash_lsh_pairs, simhash_pairs,
+        # ngram_jaccard, knn_ivf, media_features, page_regions
     }
