@@ -175,3 +175,50 @@ def test_box_mean_matches_naive():
     for y, x in [(5, 5), (10, 3), (18, 18)]:
         win = np.pad(img.astype(float), 1, mode="edge")[y : y + 3, x : x + 3]
         assert abs(got[y, x] - win.mean()) < 1e-9
+
+
+# --- remaining dispatch-path coverage ---------------------------------------
+
+
+def test_denoise_nlm_and_adaptive_paths():
+    rng = np.random.default_rng(9)
+    img = np.clip(rng.normal(170, 20, (48, 48)), 0, 255).astype(np.uint8)
+    out_nlm = denoiser.nlm_denoise(img, search_size=7)
+    assert out_nlm.shape == img.shape and out_nlm.std() <= img.std()
+    out_ad = denoiser.adaptive_denoise(img, block_size=24)
+    assert out_ad.shape == img.shape
+    out_sp = denoiser.remove_salt_pepper(img)
+    assert out_sp.shape == img.shape
+
+
+def test_enhance_for_text_returns_gray():
+    img = _stripe_page(120, 160)
+    out = enhancer.enhance_for_text(img)
+    assert out.ndim == 2 and out.dtype == np.uint8
+
+
+def test_contour_deskew_detects_rotated_block():
+    img = np.full((200, 300), 255, dtype=np.uint8)
+    img[60:140, 60:240] = 0  # solid block
+    rot = ops.rotate_expand(img, 7.0, 255)
+    ang = deskewer.detect_skew_contour(rot)
+    # min-area-rect angle of the rotated block, normalized to ±45
+    assert abs(abs(ang) - 7.0) < 2.0
+
+
+def test_projection_deskew_direct_method():
+    img = _stripe_page()
+    sk = ops.rotate_expand(img, -5.0, 255)
+    restored, ang = deskewer.deskew(sk, method="projection")
+    assert abs(ang - 5.0) <= 0.75
+    assert abs(deskewer.detect_skew_projection(restored)) <= 1.0
+
+
+def test_unknown_method_strings_fall_back_to_auto():
+    img = _stripe_page(100, 120)
+    assert (enhancer.enhance(img, method="nope") == enhancer.enhance(img, method="auto")).all()
+    assert (denoiser.denoise(img, method="nope") == denoiser.denoise(img, method="auto")).all()
+    assert (binarizer.binarize(img, method="nope") == binarizer.binarize(img, method="auto")).all()
+    a, ang_a = deskewer.deskew(img, method="nope")
+    b, ang_b = deskewer.deskew(img, method="auto")
+    assert ang_a == ang_b and (a == b).all()
