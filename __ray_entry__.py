@@ -67,15 +67,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches
         "distinct_users_exact": sketches.q_distinct_users_exact,
         "approx_distinct_users": sketches.q_approx_distinct_users,
+        "approx_distinct_check": sketches.q_approx_distinct_check,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "simhash_pairs": dedup.q_simhash_pairs,
         "ngram_jaccard": dedup.q_ngram_jaccard,
         "embedding_neardup": dedup.q_embedding_neardup,
+        "embedding_neardup_lsh": dedup.q_embedding_neardup_lsh,
         # similarity search
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "knn_ivf": similarity.q_knn_ivf,
+        "knn_ivf_recall": similarity.q_knn_ivf_recall,
         # multimodal plumbing
         "media_features": multimodal.q_media_features,
         "page_regions": multimodal.q_page_regions,
@@ -102,11 +105,21 @@ def oracle_sql() -> dict[str, str]:
         "running_user_value": events.Q_RUNNING_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
+        "lang_id": text_analysis.Q_LANG_ID_SQL,
+        "fingerprints": text_analysis.Q_FINGERPRINTS_SQL,
         "distinct_users_exact": sketches.Q_DISTINCT_USERS_SQL,
+        "approx_distinct_check": sketches.Q_APPROX_DISTINCT_CHECK_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
+        "minhash_lsh_pairs": dedup.Q_MINHASH_SQL,
+        "simhash_pairs": dedup.Q_SIMHASH_SQL,
+        "ngram_jaccard": dedup.Q_NGRAM_SQL,
         "embedding_neardup": dedup.Q_EMB_NEARDUP_SQL,
+        "embedding_neardup_lsh": dedup.Q_EMB_NEARDUP_LSH_SQL,
         "knn_bruteforce": similarity.Q_KNN_SQL,
-        # rows-only (non-SQL-expressible): lang_id, fingerprints,
-        # approx_distinct_users, minhash_lsh_pairs, simhash_pairs,
-        # ngram_jaccard, knn_ivf, media_features, page_regions
+        "knn_ivf_recall": similarity.Q_KNN_IVF_RECALL_SQL,
+        # rows-only (genuinely non-value-oracle-able): the production
+        # probabilistic operators themselves — approx_distinct_users
+        # (KMV estimate; bound gated by approx_distinct_check), knn_ivf
+        # (approximate top-k; recall gated by knn_ivf_recall) — and the
+        # geometry-heuristic stages media_features / page_regions.
     }

@@ -53,6 +53,114 @@ def digit_count(text) -> pa.Array:
     return pc.utf8_length(pc.replace_substring_regex(text, r"[^0-9]", ""))
 
 
+_P = np.uint64(1099511628211)  # FNV-64 prime, the Horner base
+
+
+def utf8_codepoints(text: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized UTF-8 -> Unicode codepoint decode for a string column.
+
+    Returns ``(flat_codepoints uint64, row_of int64)`` where ``row_of[i]``
+    is the row index of codepoint ``i`` (rows in order, codepoints in
+    string order within a row).  Null rows contribute no codepoints.
+    Pure numpy over the Arrow buffers — no per-row python loop.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    arr = text.cast(pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[: n + 1]
+    total = int(offs[-1])
+    if total == 0 or bufs[2] is None:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[:total]
+    byte_lengths = np.diff(offs)
+    row_of_byte = np.repeat(np.arange(n, dtype=np.int64), byte_lengths)
+    # lead bytes: everything except 0b10xxxxxx continuations
+    lead_pos = np.nonzero((data & 0xC0) != 0x80)[0]
+    b0 = data[lead_pos].astype(np.uint32)
+
+    def nb(k: int) -> np.ndarray:
+        return data[np.minimum(lead_pos + k, total - 1)].astype(np.uint32) & 0x3F
+
+    cp = np.where(
+        b0 < 0x80,
+        b0,
+        np.where(
+            b0 < 0xE0,
+            ((b0 & 0x1F) << 6) | nb(1),
+            np.where(
+                b0 < 0xF0,
+                ((b0 & 0x0F) << 12) | (nb(1) << 6) | nb(2),
+                ((b0 & 0x07) << 18) | (nb(1) << 12) | (nb(2) << 6) | nb(3),
+            ),
+        ),
+    )
+    return cp.astype(np.uint64), row_of_byte[lead_pos]
+
+
+def horner_mod64(
+    values: np.ndarray, row_of: np.ndarray, n_rows: int, p: np.uint64 = _P
+) -> np.ndarray:
+    """Per-row Horner fold ``h = h*p + v`` over uint64 values (mod 2^64),
+    vectorized: h(row) = sum(v_j * p^(L-1-j)).  ``row_of`` must be
+    non-decreasing.  Rows with no values hash to 0.
+
+    SQL-expressible (DuckDB)::
+
+        list_reduce(list_prepend(CAST(0 AS HUGEINT), vals),
+                    (a, x) -> (a * 1099511628211 + x) % 18446744073709551616)
+    """
+    lengths = np.bincount(row_of, minlength=n_rows).astype(np.int64)
+    total = values.size
+    if total == 0:
+        return np.zeros(n_rows, dtype=np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lengths)])
+    j_in_row = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lengths)
+    expo = np.repeat(lengths, lengths) - 1 - j_in_row
+    # p^expo mod 2^64 via binary exponentiation over exponent bits
+    pos_pow = np.ones(total, dtype=np.uint64)
+    base = p
+    e = expo.astype(np.uint64)
+    max_e = int(lengths.max())
+    bit = 0
+    with np.errstate(over="ignore"):
+        while (1 << bit) <= max_e:
+            mask = (e >> np.uint64(bit)) & np.uint64(1)
+            pos_pow = np.where(mask == 1, pos_pow * base, pos_pow)
+            base = base * base
+            bit += 1
+        contrib = values.astype(np.uint64) * pos_pow
+        # segment sums via wrap-safe cumsum (uint64 overflow wraps mod 2^64,
+        # so cs[end] - cs[start] is the exact segment sum mod 2^64)
+        cs = np.concatenate([[np.uint64(0)], np.cumsum(contrib, dtype=np.uint64)])
+        out = cs[starts[1:]] - cs[starts[:-1]]
+    return out
+
+
+def fingerprint64(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """64-bit content fingerprint: Horner fold of the Unicode codepoints
+    (mod 2^64).  Bit-identical to the DuckDB expression::
+
+        list_reduce(list_prepend(CAST(0 AS HUGEINT),
+            list_transform(range(1, length(text)+1), i -> unicode(text[i]))),
+            (a, x) -> (a * 1099511628211 + x) % 18446744073709551616)
+
+    (DuckDB string indexing is codepoint-based, verified incl. astral
+    plane.)  Empty / null text -> 0.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    cps, rows = utf8_codepoints(text)
+    out = horner_mod64(cps, rows, len(text))
+    null_mask = np.asarray(pc.is_null(text).combine_chunks() if isinstance(
+        pc.is_null(text), pa.ChunkedArray) else pc.is_null(text))
+    out[null_mask] = 0
+    return out
+
+
 def stable_hash64(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Vectorized polynomial rolling hash over UTF-8 bytes (mod 2^64).
 

@@ -5,32 +5,61 @@ Scale shapes (ray guide "Aggregation at scale"):
 
 - exact: per-batch combine (text -> min doc_id, count) BEFORE the
   groupby, so the shuffle moves one row per distinct text per batch;
-- MinHash: signatures are computed vectorized per batch, exploded to
-  (band_id, band_hash, doc_id) rows, bucketed by a groupby, candidate
-  pairs verified by true Jaccard — only bucket-mates ever pair up;
-- SimHash: 64-bit sketch per doc, 4 x 16-bit band tables for
-  hamming<=k candidates;
-- embedding near-dup: exact blocked brute-force verify (the sf-scale
-  baseline; the IVF path in similarity.py is the 100-TB shape).
+- MinHash: the LSH shuffle carries ``(band_hash, doc_id)`` ONLY — no
+  text; candidate pairs are re-joined to their texts with two hash
+  joins before the exact-Jaccard verify (at 100 TB the band shuffle is
+  ~24 B/row instead of bands x full corpus text);
+- SimHash: 64-bit sketch per doc, 4 x 16-bit band tables catch every
+  pair at hamming<=3 exactly (pigeonhole);
+- embedding near-dup: exact block-pair sweep over the dataset's own
+  object-store blocks (driver holds block *refs*, never the matrix),
+  plus a hyperplane-LSH bucketed variant for high thresholds.
+
+Token/shingle hashes are codepoint-Horner (functions/text.horner_mod64)
+so the SimHash sketch and the word-shingle Jaccard are reproducible in
+ANSI SQL — every operator here except the probabilistic-recall internals
+has a DuckDB value oracle.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 
-from ..functions.text import stable_hash64
+from ..functions.text import horner_mod64, utf8_codepoints
 from ..sources.readers import read_table
 
 _P1 = np.uint64(0x9E3779B97F4A7C15)
 _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_HORNER_P = np.uint64(1099511628211)
 # coarse shuffle-key cardinality: enough groups for parallelism, few
 # enough that per-group python overhead stays negligible
 _COARSE_BUCKETS = 64
+
+def _with_schema(schema: pa.Schema):
+    """map_batches fn pinning an explicit schema: Ray's sort-based
+    groupby.aggregate emits ZERO-COLUMN blocks for empty partitions,
+    which break downstream hash joins (FieldRef not found).  Empty
+    batches are rebuilt to the full schema; non-empty ones are cast."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return pa.table({f.name: pc.cast(t[f.name], f.type) for f in schema})
+
+    return fn
+
+
+_PAIR_SCHEMA = pa.schema(
+    [
+        pa.field("doc_a", pa.int64()),
+        pa.field("doc_b", pa.int64()),
+        pa.field("jaccard", pa.float64()),
+    ]
+)
 
 
 # ---------------------------------------------------------------------------
@@ -65,14 +94,26 @@ FROM documents GROUP BY text
 # Shingling + MinHash signatures (vectorized)
 # ---------------------------------------------------------------------------
 
+# ASCII-\s trim on BOTH sides (pipeline and SQL) — DuckDB trim() is
+# space-only and utf8_trim_whitespace is unicode, either would drift
+_TRIM_RE = r"^\s+|\s+$"
+
+
 def _token_hashes_per_row(text_col) -> tuple[np.ndarray, np.ndarray]:
-    """(flat token hashes, row id per token) for a string column."""
-    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text_col), r"\s+")
+    """(flat token hashes, row id per token) for a string column.
+
+    Tokens = RE2 ``\\s+`` split of the ASCII-whitespace-trimmed text;
+    token hash = Horner fold of the token's codepoints mod 2^64 —
+    bit-identical to the DuckDB list_reduce expression used by the
+    SimHash oracle (Q_SIMHASH_SQL)."""
+    trimmed = pc.replace_substring_regex(text_col, _TRIM_RE, "")
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = pc.list_flatten(toks)
     rows = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    return stable_hash64(flat), rows
+    cps, cp_rows = utf8_codepoints(flat)
+    return horner_mod64(cps, cp_rows, len(flat)), rows
 
 
 def _shingle_hashes(text_col, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
@@ -99,7 +140,8 @@ def _shingle_hashes(text_col, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
 def minhash_signatures(
     text_col, num_hashes: int = 64, shingle_k: int = 3, seed: int = 1234
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(row_ids, signatures[num_rows, num_hashes]) for non-empty rows."""
+    """(row_ids, signatures[num_rows, num_hashes]) for rows with >=1
+    shingle."""
     sh, rows = _shingle_hashes(text_col, k=shingle_k)
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
@@ -114,96 +156,202 @@ def minhash_signatures(
     return uniq_rows, sig
 
 
+def _run_pairs(keys: np.ndarray, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All (id_i, id_j) pairs within runs of equal ``keys`` — vectorized
+    run detection, numpy triu per run.  Returns sorted-id pairs a<b."""
+    order = np.lexsort((ids, keys))
+    k, v = keys[order], ids[order]
+    starts = np.nonzero(np.concatenate([[True], k[1:] != k[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [k.size]])
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        iu = np.triu_indices(m, 1)
+        sub = v[s:e]
+        out_a.append(sub[iu[0]])
+        out_b.append(sub[iu[1]])
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a = np.concatenate(out_a).astype(np.int64)
+    b = np.concatenate(out_b).astype(np.int64)
+    keep = a != b  # same doc colliding across two bands
+    return a[keep], b[keep]
+
+
+def _sorted_unique_rowsets(
+    values: np.ndarray, rows: np.ndarray, n_rows: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row sorted-unique value arrays, packed: (flat values, offsets
+    of length n_rows+1).  One vectorized sort + adjacent-dedup."""
+    order = np.lexsort((values, rows))
+    r, v = rows[order], values[order]
+    if v.size:
+        keep = np.concatenate([[True], (r[1:] != r[:-1]) | (v[1:] != v[:-1])])
+        r, v = r[keep], v[keep]
+    counts = np.bincount(r, minlength=n_rows)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return v, offsets
+
+
+def _intersect_size(a: np.ndarray, b: np.ndarray) -> int:
+    """|A ∩ B| for sorted unique uint64 arrays."""
+    if a.size > b.size:
+        a, b = b, a
+    if a.size == 0:
+        return 0
+    idx = np.searchsorted(b, a)
+    idx = np.minimum(idx, b.size - 1)
+    return int((b[idx] == a).sum())
+
+
 def q_minhash_lsh_pairs(
     sf_dir: str,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     jaccard_threshold: float = 0.5,
+    join_partitions: int = 8,
 ) -> ray.data.Dataset:
-    """Near-dup pairs via MinHash banding.
+    """Near-dup pairs via MinHash banding, shuffle-light:
 
-    signatures -> (band_id, band_hash, doc_id) rows -> groupby bucket ->
-    candidate pairs -> exact shingle-Jaccard verify.  Rows-only oracle
-    (probabilistic recall is not SQL-expressible)."""
+    signatures -> (band_hash, doc_id) rows [NO text] -> bucket groupby
+    -> candidate pairs -> groupby-distinct -> two hash joins re-attach
+    texts -> exact shingle-Jaccard verify (one vectorized shingle pass
+    per batch, no per-pair recompute).
+
+    With bands=32 (2 hashes/band) a pair at the 0.5 threshold is missed
+    with p=(1-0.25)^32 ~ 1e-4 and the corpus' true pairs (all at
+    jaccard>=0.7, see BASELINE.md) with p<=5e-10 — recall is
+    deterministically 1 on the test corpora, so the DuckDB oracle is
+    the full exact word-3-gram-Jaccard self-join (Q_MINHASH_SQL)."""
     rows_per_band = num_hashes // bands
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_band_rows(t: pa.Table) -> pa.Table:
         row_ids, sig = minhash_signatures(t["text"], num_hashes=num_hashes)
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[row_ids]
-        texts = np.asarray(t["text"].to_pylist(), dtype=object)[row_ids]
-        band_ids = np.repeat(np.arange(bands, dtype=np.int32), row_ids.size)
         with np.errstate(over="ignore"):
             bh = np.zeros((row_ids.size, bands), dtype=np.uint64)
             for bidx in range(bands):
                 seg = sig[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
-                h = np.zeros(row_ids.size, dtype=np.uint64)
+                # seed with the band index: cross-band hash collisions
+                # can't merge buckets, so band_hash alone is the LSH key
+                h = np.full(row_ids.size, np.uint64(bidx + 1), dtype=np.uint64)
                 for c in range(seg.shape[1]):
                     h = h * _P1 + seg[:, c]
                 bh[:, bidx] = h
         bh_flat = bh.T.reshape(-1)
         return pa.table(
             {
-                "band_id": band_ids,
-                "band_hash": bh_flat.astype(np.int64),
+                "band_hash": pa.array(bh_flat.astype(np.int64)),
                 # coarse shuffle key: one groupby call handles MANY LSH
-                # buckets (a map_groups call per (band,hash) bucket would
+                # buckets (a map_groups call per band-hash bucket would
                 # pay python overhead per bucket — thousands of calls)
-                "bucket": (bh_flat % np.uint64(_COARSE_BUCKETS)).astype(np.int32),
-                "doc_id": np.tile(doc_ids, bands),
-                "text": pa.array(np.tile(texts, bands)),
+                "bucket": pa.array((bh_flat % np.uint64(_COARSE_BUCKETS)).astype(np.int32)),
+                "doc_id": pa.array(np.tile(doc_ids, bands).astype(np.int64)),
             }
         )
 
     band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (_, _), grp in g.groupby(["band_id", "band_hash"], sort=True):
-            if len(grp) < 2:
-                continue
-            grp = grp.sort_values("doc_id")
-            ids = grp["doc_id"].to_numpy()
-            texts = grp["text"].to_numpy()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out.append((int(ids[i]), int(ids[j]), texts[i], texts[j]))
-        df = pd.DataFrame(out, columns=["doc_a", "doc_b", "text_a", "text_b"])
-        if len(df):
-            df["pair_bucket"] = (
-                (df["doc_a"].to_numpy(np.uint64) * _P1 + df["doc_b"].to_numpy(np.uint64))
-                % np.uint64(_COARSE_BUCKETS)
-            ).astype(np.int32)
-        else:
-            df["pair_bucket"] = pd.Series([], dtype=np.int32)
-        return df
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        a, b = _run_pairs(
+            g["band_hash"].to_numpy(zero_copy_only=False),
+            g["doc_id"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
 
-    cand = band_rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    cand = band_rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    # global pair dedup (a pair can surface in several bands/buckets)
+    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
+    # repartition absorbs the aggregate's zero-column empty-partition
+    # blocks, which would otherwise break the hash join (FieldRef error)
+    uniq = uniq.repartition(join_partitions).map_batches(
+        _with_schema(pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])),
+        batch_format="pyarrow",
+    )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        # a pair found in several bands always lands in one pair_bucket,
-        # so the within-bucket drop_duplicates is a global dedup
-        if len(g) == 0:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-        g = g.drop_duplicates(subset=["doc_a", "doc_b"])
-        jac = []
-        for _, r in g.iterrows():
-            ta = pa.array([r["text_a"], r["text_b"]])
-            sh, rows = _shingle_hashes(ta)
-            sa = set(sh[rows == 0].tolist())
-            sb = set(sh[rows == 1].tolist())
-            denom = len(sa | sb)
-            jac.append(len(sa & sb) / denom if denom else 1.0)
-        g = g[["doc_a", "doc_b"]].copy()
-        g["jaccard"] = np.floor(np.asarray(jac) * 1e6) / 1e6
-        return g[g["jaccard"] >= jaccard_threshold]
+    # re-attach texts: two hash joins against the documents table — the
+    # shuffle moves candidate pairs (small) + the doc table once, never
+    # bands x text
+    docs_a = ds.map_batches(
+        lambda t: t.rename_columns(["doc_a", "text_a"]), batch_format="pyarrow"
+    )
+    docs_b = ds.map_batches(
+        lambda t: t.rename_columns(["doc_b", "text_b"]), batch_format="pyarrow"
+    )
+    withtext = uniq.join(
+        docs_a, join_type="inner", num_partitions=join_partitions, on=("doc_a",)
+    ).join(docs_b, join_type="inner", num_partitions=join_partitions, on=("doc_b",))
 
-    return cand.groupby("pair_bucket").map_groups(verify, batch_format="pandas")
+    def verify(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return _PAIR_SCHEMA.empty_table()
+        # ONE vectorized shingle pass over text_a ++ text_b
+        combined = pa.chunked_array(
+            [t["text_a"].combine_chunks(), t["text_b"].combine_chunks()]
+        ).combine_chunks()
+        sh, rows = _shingle_hashes(combined)
+        vals, offs = _sorted_unique_rowsets(sh, rows, 2 * n)
+        jac = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            a = vals[offs[i] : offs[i + 1]]
+            b = vals[offs[n + i] : offs[n + i + 1]]
+            inter = _intersect_size(a, b)
+            union = a.size + b.size - inter
+            jac[i] = inter / union if union else 1.0
+        jac = np.floor(jac * 1e6) / 1e6
+        keep = jac >= jaccard_threshold
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].combine_chunks().filter(pa.array(keep)),
+                "doc_b": t["doc_b"].combine_chunks().filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep]),
+            },
+            schema=_PAIR_SCHEMA,
+        )
+
+    return withtext.map_batches(verify, batch_format="pyarrow")
+
+
+Q_MINHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                               '\s+') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws)-1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM toks WHERE len(ws) >= 3
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         FLOOR(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams)))
+               * 1000000) / 1000000 AS jaccard
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND len(a.grams) * 2 >= len(b.grams)  -- jac>=0.5 => |A|>=|B|/2
+   AND len(b.grams) * 2 >= len(a.grams)
+)
+WHERE jaccard >= 0.5
+"""
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup
+# SimHash near-dup (SQL-matched: banding is EXACT for hamming<=3)
 # ---------------------------------------------------------------------------
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(
+        np.ascontiguousarray(x).view(np.uint8).reshape(x.size, 8), axis=1
+    ).sum(axis=1, dtype=np.int64)
+
 
 def simhash64(text_col) -> np.ndarray:
     """64-bit SimHash over whitespace tokens, vectorized."""
@@ -222,145 +370,318 @@ def simhash64(text_col) -> np.ndarray:
 
 def q_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """Near-dup pairs with SimHash hamming distance <= max_hamming via
-    4 x 16-bit band tables (a pair within distance 3 must agree on at
-    least one of 4 bands). Rows-only oracle."""
+    4 x 16-bit band tables.  A pair within distance 3 MUST agree on at
+    least one of the 4 bands (pigeonhole), so the LSH output equals the
+    all-pairs answer exactly — and because the token hash is the
+    SQL-expressible codepoint Horner fold, the DuckDB oracle recomputes
+    the sketch and the full pair set (Q_SIMHASH_SQL)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_bands(t: pa.Table) -> pa.Table:
         sh = simhash64(t["text"])
-        doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        parts = []
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        band_key = np.empty(4 * n, dtype=np.int64)
         for b in range(4):
-            key = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int32)
-            parts.append(
-                pa.table(
-                    {
-                        "band_id": pa.array(np.full(len(t), b, dtype=np.int32)),
-                        "band_key": pa.array(key),
-                        "bucket": pa.array(
-                            ((b * 65536 + key) % _COARSE_BUCKETS).astype(np.int32)
-                        ),
-                        "doc_id": pa.array(doc),
-                        "simhash": pa.array(sh.astype(np.int64)),
-                    }
-                )
+            # mix the band index into the key so one groupby key spans
+            # all 4 tables without cross-band merges
+            band_key[b * n : (b + 1) * n] = (
+                ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+                + (b << 16)
             )
-        return pa.concat_tables(parts)
-
-    bands = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (_, _), grp in g.groupby(["band_id", "band_key"], sort=True):
-            if len(grp) < 2:
-                continue
-            grp = grp.sort_values("doc_id")
-            ids = grp["doc_id"].to_numpy()
-            hs = grp["simhash"].to_numpy().astype(np.uint64)
-            for i in range(len(ids)):
-                d = np.bitwise_xor(hs[i], hs[i + 1 :])
-                ham = np.array([bin(int(x)).count("1") for x in d])
-                for j in np.nonzero(ham <= max_hamming)[0]:
-                    out.append((int(ids[i]), int(ids[i + 1 + j]), int(ham[j])))
-        df = pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
-        if len(df):
-            df["pair_bucket"] = (
-                (df["doc_a"].to_numpy(np.uint64) * _P1 + df["doc_b"].to_numpy(np.uint64))
-                % np.uint64(_COARSE_BUCKETS)
-            ).astype(np.int32)
-        else:
-            df["pair_bucket"] = pd.Series([], dtype=np.int32)
-        return df
-
-    cand = bands.groupby("bucket").map_groups(pairs, batch_format="pandas")
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
-        return g.drop_duplicates(subset=["doc_a", "doc_b"])[
-            ["doc_a", "doc_b", "hamming"]
-        ]
-
-    return cand.groupby("pair_bucket").map_groups(dedup_pairs, batch_format="pandas")
-
-
-# ---------------------------------------------------------------------------
-# n-gram Jaccard within blocking buckets
-# ---------------------------------------------------------------------------
-
-def q_ngram_jaccard(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
-    """Char-5-gram Jaccard over pairs blocked by (lang, length decile).
-
-    Blocking keeps the pair count bounded (the all-pairs alternative is
-    quadratic); rows-only oracle."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text", "n_chars"])
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(pc.divide(t["n_chars"], 50), pa.int32())
-        return t.append_column("len_bucket", b)
-
-    ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (_, _), grp in g.groupby(["lang", "len_bucket"], sort=True):
-            if len(grp) < 2:
-                continue
-            grp = grp.sort_values("doc_id")
-            ids = grp["doc_id"].to_numpy()
-            grams = [
-                {t[i : i + 5] for i in range(max(len(t) - 4, 1))}
-                for t in grp["text"]
-            ]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    denom = len(grams[i] | grams[j])
-                    jac = len(grams[i] & grams[j]) / denom if denom else 1.0
-                    if jac >= threshold:
-                        out.append(
-                            (int(ids[i]), int(ids[j]), float(np.floor(jac * 1e6) / 1e6))
-                        )
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
-
-    return ds.groupby(["lang", "len_bucket"]).map_groups(pairs, batch_format="pandas")
-
-
-# ---------------------------------------------------------------------------
-# Embedding-cosine near-dup (exact verify; SQL-matched)
-# ---------------------------------------------------------------------------
-
-def q_embedding_neardup(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
-    """All pairs with cosine >= threshold — exact blocked brute force
-    (each batch matmuls against the broadcast full matrix; O(n^2/B)
-    per task).  SQL oracle is the equivalent self-join."""
-    import ray
-
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    all_rows = pa.concat_tables(
-        ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow")
-    )
-    ids_all = all_rows["vec_id"].to_numpy(zero_copy_only=False)
-    mat = np.stack(all_rows["embedding"].to_pylist()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids_all, mat))
-
-    def block(t: pa.Table) -> pa.Table:
-        ids_b = t["vec_id"].to_numpy(zero_copy_only=False)
-        m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        ids_all_, mat_ = ray.get(ref)
-        sims = m @ mat_.T
-        ai, bj = np.nonzero(sims >= threshold)
-        keep = ids_b[ai] < ids_all_[bj]
         return pa.table(
             {
-                "vec_a": pa.array(ids_b[ai][keep]),
-                "vec_b": pa.array(ids_all_[bj][keep]),
-                "cosine": pa.array(np.floor(sims[ai, bj][keep] * 1e6 + 1e-3) / 1e6),
+                "band_key": pa.array(band_key),
+                "bucket": pa.array((band_key % _COARSE_BUCKETS).astype(np.int32)),
+                "doc_id": pa.array(np.tile(doc, 4)),
+                "simhash": pa.array(np.tile(sh.astype(np.int64), 4)),
             }
         )
 
-    return ds.map_batches(block, batch_format="pyarrow", batch_size=1024)
+    bands = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        keys = g["band_key"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        hs = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, keys))
+        k, v, h = keys[order], ids[order], hs[order]
+        starts = np.nonzero(np.concatenate([[True], k[1:] != k[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [k.size]])
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            iu = np.triu_indices(m, 1)
+            ham = _popcount64(np.bitwise_xor(h[s:e][iu[0]], h[s:e][iu[1]]))
+            keep = ham <= max_hamming
+            out_a.append(v[s:e][iu[0]][keep])
+            out_b.append(v[s:e][iu[1]][keep])
+            out_h.append(ham[keep])
+        if out_a:
+            a = np.concatenate(out_a).astype(np.int64)
+            b = np.concatenate(out_b).astype(np.int64)
+            hm = np.concatenate(out_h).astype(np.int64)
+            keep = a != b
+            a, b, hm = a[keep], b[keep], hm[keep]
+        else:
+            a = b = hm = np.empty(0, np.int64)
+        return pa.table(
+            {"doc_a": pa.array(a), "doc_b": pa.array(b), "hamming": pa.array(hm)}
+        )
+
+    cand = bands.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    # a qualifying pair appears in >=1 band tables: dedup by key
+    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return uniq.map_batches(
+        _with_schema(
+            pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                               '\s+') AS ws
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(ws, w ->
+             list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(range(1, length(w)+1), i -> unicode(w[i]))),
+                 (a, x) -> (a * 1099511628211 + x) % 18446744073709551616)) AS hs
+  FROM toks
+), sim AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             list_transform(range(63, -1, -1), j ->
+                 CASE WHEN list_sum(list_transform(hs,
+                          h -> CAST((h // (CAST(1 AS HUGEINT) << j)) % 2 AS BIGINT) * 2 - 1)) > 0
+                      THEN 1 ELSE 0 END)),
+             (a, b) -> a * 2 + b) AS shu
+  FROM th
+), simi AS (
+  SELECT doc_id,
+         CAST(CASE WHEN shu >= 9223372036854775808
+              THEN shu - 18446744073709551616 ELSE shu END AS BIGINT) AS sh
+  FROM sim
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM simi a JOIN simi b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard within blocking buckets (SQL-matched)
+# ---------------------------------------------------------------------------
+
+def _char_gram_hashes(text_col, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Char k-gram Horner hashes + row ids, vectorized over the decoded
+    codepoint stream.  Rows shorter than k contribute ONE gram — the
+    Horner hash of the whole row (== substr(text, 1, k) semantics)."""
+    cps, rows = utf8_codepoints(text_col)
+    n_rows = len(text_col)
+    lengths = np.bincount(rows, minlength=n_rows)
+    # short rows (len < k): one whole-row gram
+    short = np.nonzero(lengths < k)[0]
+    short_mask_flat = lengths[rows] < k if cps.size else np.empty(0, bool)
+    short_hash = horner_mod64(cps[short_mask_flat], rows[short_mask_flat], n_rows)[short]
+    # long rows: sliding window of k codepoints
+    n = cps.size
+    if n >= k:
+        with np.errstate(over="ignore"):
+            h = np.zeros(n - k + 1, dtype=np.uint64)
+            for d in range(k):
+                h = h * _HORNER_P + cps[d : n - k + 1 + d]
+        valid = rows[k - 1 :] == rows[: n - k + 1]
+        win_h, win_rows = h[valid], rows[: n - k + 1][valid]
+    else:
+        win_h = np.empty(0, np.uint64)
+        win_rows = np.empty(0, np.int64)
+    all_h = np.concatenate([win_h, short_hash.astype(np.uint64)])
+    all_rows = np.concatenate([win_rows, short.astype(np.int64)])
+    order = np.argsort(all_rows, kind="stable")
+    return all_h[order], all_rows[order]
+
+
+def q_ngram_jaccard(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
+    """Char-5-gram Jaccard over pairs blocked by (lang, length bucket).
+
+    Gram hashes are computed ONCE per doc in a vectorized map_batches
+    (carried as a sorted-unique list column); the per-block pair loop is
+    pure numpy set-intersection with a count-ratio prefilter.  Blocking
+    keeps the pair count bounded; the DuckDB oracle enumerates the same
+    grams with substr() (Q_NGRAM_SQL)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text", "n_chars"])
+
+    def add_grams(t: pa.Table) -> pa.Table:
+        g, rows = _char_gram_hashes(t["text"], k=5)
+        vals, offs = _sorted_unique_rowsets(g, rows, len(t))
+        grams = pa.LargeListArray.from_arrays(offs, pa.array(vals.astype(np.int64)))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "len_bucket": pc.cast(pc.divide(t["n_chars"], 50), pa.int32()),
+                "grams": grams,
+            }
+        )
+
+    ds = ds.map_batches(add_grams, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        tbl = g.combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        langs = tbl["lang"].to_numpy(zero_copy_only=False)
+        buckets = tbl["len_bucket"].to_numpy(zero_copy_only=False)
+        glist = tbl["grams"].combine_chunks()
+        offs = glist.offsets.to_numpy(zero_copy_only=False)
+        vals = glist.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, buckets, langs))
+        out_a, out_b, out_j = [], [], []
+        # iterate (lang, bucket) runs
+        key_change = np.concatenate(
+            [[True], (langs[order][1:] != langs[order][:-1])
+             | (buckets[order][1:] != buckets[order][:-1])]
+        )
+        starts = np.nonzero(key_change)[0]
+        ends = np.concatenate([starts[1:], [order.size]])
+        for s, e in zip(starts, ends):
+            members = order[s:e]
+            m = members.size
+            if m < 2:
+                continue
+            sizes = (offs[members + 1] - offs[members]).astype(np.int64)
+            for x in range(m):
+                ax = vals[offs[members[x]] : offs[members[x] + 1]]
+                for y in range(x + 1, m):
+                    # |A| >= t|B| prefilter (jac <= min/max of sizes)
+                    if sizes[x] < threshold * sizes[y] or sizes[y] < threshold * sizes[x]:
+                        continue
+                    ay = vals[offs[members[y]] : offs[members[y] + 1]]
+                    inter = _intersect_size(ax, ay)
+                    union = sizes[x] + sizes[y] - inter
+                    jac = inter / union if union else 1.0
+                    jac = np.floor(jac * 1e6) / 1e6
+                    if jac >= threshold:
+                        out_a.append(int(ids[members[x]]))
+                        out_b.append(int(ids[members[y]]))
+                        out_j.append(float(jac))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            },
+            schema=_PAIR_SCHEMA,
+        )
+
+    return ds.groupby(["lang", "len_bucket"]).map_groups(pairs, batch_format="pyarrow")
+
+
+Q_NGRAM_SQL = """
+WITH g AS (
+  SELECT doc_id, lang, CAST(n_chars // 50 AS INTEGER) AS len_bucket,
+         list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+             i -> substr(text, i, 5))) AS grams
+  FROM documents
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         FLOOR(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams)))
+               * 1000000) / 1000000 AS jaccard
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+   AND len(a.grams) * 5 >= len(b.grams) * 2  -- jac>=0.4 prefilter
+   AND len(b.grams) * 5 >= len(a.grams) * 2
+)
+WHERE jaccard >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return ids, m
+
+
+def q_embedding_neardup(
+    sf_dir: str, threshold: float = 0.4, block_rows: int = 4096
+) -> ray.data.Dataset:
+    """All pairs with cosine >= threshold — exact block-pair sweep.
+
+    The dataset is materialized into object-store blocks of
+    ``block_rows`` vectors; the DRIVER holds only the block *refs*, and
+    a task per block pair (i<=j) fetches its two blocks zero-copy from
+    the object store and matmuls them.  O(B^2) tasks of bounded memory —
+    the exact shape (an all-pairs threshold this loose is inherently
+    quadratic; for high thresholds use q_embedding_neardup_lsh, which
+    prunes).  SQL oracle: the equivalent self-join."""
+    import ray
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ds.count()
+    nblocks = max(1, -(-n // block_rows))
+    mat = ds.repartition(nblocks).materialize()
+    block_refs = [
+        ref for bundle in mat.iter_internal_ref_bundles() for ref in bundle.block_refs
+    ]
+    nb = len(block_refs)
+    pair_items = [
+        {"i": i, "j": j} for i in range(nb) for j in range(i, nb)
+    ]
+    pair_ds = ray.data.from_items(pair_items)
+
+    out_schema = pa.schema(
+        [
+            pa.field("vec_a", pa.int64()),
+            pa.field("vec_b", pa.int64()),
+            pa.field("cosine", pa.float64()),
+        ]
+    )
+
+    def score_block_pair(batch: pa.Table) -> pa.Table:
+        outs = [out_schema.empty_table()]
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ta = ray.get(block_refs[i])
+            tb = ta if j == i else ray.get(block_refs[j])
+            ids_a, ma = _batch_matrix(ta)
+            ids_b, mb = (ids_a, ma) if j == i else _batch_matrix(tb)
+            sims = ma @ mb.T
+            ai, bj = np.nonzero(sims >= threshold)
+            keep = ids_a[ai] < ids_b[bj]
+            outs.append(
+                pa.table(
+                    {
+                        "vec_a": pa.array(ids_a[ai][keep].astype(np.int64)),
+                        "vec_b": pa.array(ids_b[bj][keep].astype(np.int64)),
+                        "cosine": pa.array(
+                            np.floor(sims[ai, bj][keep] * 1e6 + 1e-3) / 1e6
+                        ),
+                    },
+                    schema=out_schema,
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return pair_ds.map_batches(
+        score_block_pair, batch_format="pyarrow", batch_size=1
+    )
 
 
 Q_EMB_NEARDUP_SQL = """
@@ -371,4 +692,139 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def q_embedding_neardup_lsh(
+    sf_dir: str,
+    threshold: float = 0.85,
+    bits_per_band: int = 8,
+    n_bands: int = 16,
+    join_partitions: int = 8,
+    seed: int = 99,
+) -> ray.data.Dataset:
+    """High-threshold near-dup via random-hyperplane LSH: sign-bit band
+    keys -> bucket groupby -> candidate pairs -> join vectors back ->
+    exact cosine verify.  The shuffle carries (band_key, vec_id) only.
+
+    Recall is 1-(1-p^b)^B with p = 1 - arccos(cos)/pi — at cosine 0.99
+    the miss probability is ~6e-9; at the default threshold 0.85 it is
+    ~2% for a pair sitting exactly on the threshold, so this is the
+    scale path for tight thresholds, not a drop-in for the exact sweep
+    (q_embedding_neardup).  Planted-dup recall is pytest-asserted."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # probe the dimension from parquet metadata-level single-row read
+    head = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(head.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * bits_per_band, dim))
+    planes_ref = ray.put(planes)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        pl = ray.get(planes_ref)
+        bits = (m @ pl.T) > 0  # [n, n_bands*bits]
+        n = len(ids)
+        keys = np.zeros((n, n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            seg = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+            k = np.zeros(n, dtype=np.int64)
+            for c in range(bits_per_band):
+                k = (k << 1) | seg[:, c]
+            keys[:, b] = k + (b << bits_per_band)
+        flat = keys.T.reshape(-1)
+        return pa.table(
+            {
+                "band_key": pa.array(flat),
+                "bucket": pa.array((flat % _COARSE_BUCKETS).astype(np.int32)),
+                "vec_id": pa.array(np.tile(ids.astype(np.int64), n_bands)),
+            }
+        )
+
+    bands = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        a, b = _run_pairs(
+            g["band_key"].to_numpy(zero_copy_only=False),
+            g["vec_id"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"vec_a": pa.array(a), "vec_b": pa.array(b)})
+
+    cand = bands.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    uniq = cand.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="_nb"))
+    # repartition absorbs zero-column empty-partition blocks (see
+    # q_minhash_lsh_pairs) before the hash joins
+    uniq = uniq.repartition(join_partitions).map_batches(
+        _with_schema(pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])),
+        batch_format="pyarrow",
+    )
+
+    def pack(id_name: str, emb_name: str):
+        # Acero hash joins reject list-typed payload columns — carry the
+        # vector as one large_binary cell (raw float64 bytes) instead
+        def fn(t: pa.Table) -> pa.Table:
+            _, m = _batch_matrix(t)  # normalized float64 [n, dim]
+            n, dim = m.shape
+            data = pa.py_buffer(np.ascontiguousarray(m).tobytes())
+            offs = pa.py_buffer((np.arange(n + 1, dtype=np.int64) * 8 * dim).tobytes())
+            emb = pa.Array.from_buffers(pa.large_binary(), n, [None, offs, data])
+            return pa.table({id_name: t["vec_id"], emb_name: emb})
+
+        return fn
+
+    vecs_a = ds.map_batches(pack("vec_a", "emb_a"), batch_format="pyarrow")
+    vecs_b = ds.map_batches(pack("vec_b", "emb_b"), batch_format="pyarrow")
+    joined = uniq.join(
+        vecs_a, join_type="inner", num_partitions=join_partitions, on=("vec_a",)
+    ).join(vecs_b, join_type="inner", num_partitions=join_partitions, on=("vec_b",))
+
+    out_schema = pa.schema(
+        [
+            pa.field("vec_a", pa.int64()),
+            pa.field("vec_b", pa.int64()),
+            pa.field("cosine", pa.float64()),
+        ]
+    )
+
+    def unpack(col: pa.ChunkedArray, n: int) -> np.ndarray:
+        arr = col.combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        flat = np.frombuffer(arr.buffers()[2], dtype=np.float64)
+        dim = (offs[1] - offs[0]) // 8
+        return flat[offs[0] // 8 : offs[-1] // 8].reshape(n, dim)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        ma = unpack(t["emb_a"], len(t))  # already normalized at pack time
+        mb = unpack(t["emb_b"], len(t))
+        sims = (ma * mb).sum(axis=1)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "vec_a": pc.cast(t["vec_a"].combine_chunks().filter(pa.array(keep)), pa.int64()),
+                "vec_b": pc.cast(t["vec_b"].combine_chunks().filter(pa.array(keep)), pa.int64()),
+                "cosine": pa.array(np.floor(sims[keep] * 1e6 + 1e-3) / 1e6),
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+Q_EMB_NEARDUP_LSH_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.001) / 1000000
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.85
 """

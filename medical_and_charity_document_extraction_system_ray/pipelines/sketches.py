@@ -81,17 +81,50 @@ def q_approx_distinct_users(sf_dir: str, k: int = KMV_K) -> ray.data.Dataset:
 
     sketches = ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+    def merge(g: pd.DataFrame) -> pa.Table:
+        etypes, ests = [], []
         for etype, grp in g.groupby("event_type", sort=True):
             parts = [np.asarray(s, dtype=np.int64).astype(np.uint64) for s in grp["sketch"]]
             merged = kmv_merge(parts, k)
-            rows.append(
-                {
-                    "event_type": etype,
-                    "approx_users": round(kmv_estimate(merged, k), 2),
-                }
-            )
-        return pd.DataFrame(rows, columns=["event_type", "approx_users"])
+            etypes.append(etype)
+            ests.append(round(kmv_estimate(merged, k), 2))
+        # explicit Arrow schema so empty groups emit the same schema as
+        # non-empty ones (schema-unstable operators break downstream fusion)
+        return pa.table(
+            {
+                "event_type": pa.array(etypes, type=pa.string()),
+                "approx_users": pa.array(ests, type=pa.float64()),
+            }
+        )
 
     return sketches.groupby("event_type").map_groups(merge, batch_format="pandas")
+
+
+def q_approx_distinct_check(
+    sf_dir: str, k: int = KMV_K, tolerance: float = 0.15
+) -> pa.Table:
+    """Value-oracled accuracy gate for the KMV sketch: runs the exact
+    distinct count AND the sketch estimate, emits the exact count plus
+    ``est_ok`` = |estimate/exact - 1| <= tolerance.  The SQL oracle
+    recomputes the exact count and asserts TRUE, so a sketch drifting
+    out of its error bound fails the hash-match — an honest value
+    oracle for a probabilistic operator."""
+    exact = q_distinct_users_exact(sf_dir).to_pandas()
+    approx = q_approx_distinct_users(sf_dir, k=k).to_pandas()
+    m = exact.merge(approx, on="event_type", how="outer")
+    est_ok = (
+        (m["approx_users"] / m["n_users"] - 1.0).abs() <= tolerance
+    ).fillna(False)
+    return pa.table(
+        {
+            "event_type": pa.array(m["event_type"], type=pa.string()),
+            "n_users": pa.array(m["n_users"].astype("int64")),
+            "est_ok": pa.array(est_ok.astype(bool)),
+        }
+    )
+
+
+Q_APPROX_DISTINCT_CHECK_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, TRUE AS est_ok
+FROM events GROUP BY event_type
+"""

@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from ..functions.text import char_counts_nospace, digit_count, stable_hash64, token_count
+from ..functions.text import char_counts_nospace, digit_count, fingerprint64, token_count
 from ..sources.readers import read_table
 
 
@@ -120,69 +120,135 @@ FROM base
 class LangIdScorer:
     """Actor: language profiles compiled once per actor in __init__.
 
-    Heuristic n-gram/stopword scorer over {en, de, es, fr, zh}: scores
-    each language by stopword hits + script hints.  Not SQL-expressible
-    (rows-only oracle check)."""
+    Heuristic stopword scorer over {en, de, es, fr, zh}: per batch the
+    word stream is extracted ONCE with Arrow kernels (RE2 split on the
+    non-word-class), lowered, membership-tested against each profile
+    with ``pc.is_in``, and segment-summed per row — no per-row python
+    loop.  Ties break alphabetically (de < en < es < fr), matching the
+    SQL oracle's CASE cascade.  SQL-matched (Q_LANG_ID_SQL).
+    """
 
+    # sorted key order IS the tie-break order
     PROFILES = {
-        "en": {"the", "and", "of", "to", "a", "in", "is", "for", "on", "with"},
-        "de": {"der", "die", "und", "das", "ist", "von", "mit", "für", "auf", "ein"},
-        "es": {"el", "la", "de", "que", "y", "en", "un", "por", "con", "los"},
-        "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"},
+        "de": ("der", "die", "und", "das", "ist", "von", "mit", "für", "auf", "ein"),
+        "en": ("the", "and", "of", "to", "a", "in", "is", "for", "on", "with"),
+        "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+        "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"),
     }
+    WORD_CLASS = "a-zA-ZÀ-ÿ"
+    CJK_CLASS = "一-鿿"
 
     def __init__(self):
-        import re
+        self.langs = sorted(self.PROFILES)
+        self.profile_sets = [
+            pa.array(self.PROFILES[lang]) for lang in self.langs
+        ]
 
-        self.word_re = re.compile(r"[a-zA-ZÀ-ÿ]+")
-        self.cjk_re = re.compile(r"[一-鿿]")
-        self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds, confs = [], []
-        for text in batch["text"]:
-            cjk = len(self.cjk_re.findall(text))
-            if cjk > 0 and cjk >= len(text) * 0.05:
-                preds.append("zh")
-                confs.append(1.0)
-                continue
-            words = [w.lower() for w in self.word_re.findall(text)]
-            if not words:
-                preds.append("und")
-                confs.append(0.0)
-                continue
-            scores = {
-                lang: sum(w in prof for w in words) / len(words)
-                for lang, prof in self.profiles.items()
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n = len(batch)
+        cjk = pc.count_substring_regex(text, f"[{self.CJK_CLASS}]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        total_len = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        toks = pc.split_pattern_regex(text, f"[^{self.WORD_CLASS}]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        rows = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat = pc.utf8_lower(flat.filter(pa.array(nonempty)))
+        rows = rows[nonempty]
+        n_words = np.bincount(rows, minlength=n).astype(np.float64)
+        hits = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, vs in enumerate(self.profile_sets):
+            m = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False)
+            hits[:, j] = np.bincount(rows[m], minlength=n)
+        best_j = hits.argmax(axis=1)  # first max in column order = alpha tie-break
+        best_hits = hits[np.arange(n), best_j].astype(np.float64)
+        is_zh = (cjk > 0) & (cjk >= total_len * 0.05)
+        no_words = n_words == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            conf = np.where(n_words > 0, best_hits / n_words, 0.0)
+        conf = np.floor(conf * 1e6) / 1e6
+        conf = np.where(is_zh, 1.0, np.where(no_words, 0.0, conf))
+        langs_arr = np.asarray(self.langs, dtype=object)
+        pred = langs_arr[best_j].copy()
+        pred[best_hits == 0] = "und"
+        pred[no_words] = "und"
+        pred[is_zh] = "zh"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pred_lang": pa.array(pred, type=pa.string()),
+                "lang_conf": pa.array(conf),
             }
-            best = max(sorted(scores), key=lambda k: scores[k])
-            preds.append(best if scores[best] > 0 else "und")
-            confs.append(round(scores[best], 6))
-        out = batch[["doc_id", "lang"]].copy()
-        out["pred_lang"] = preds
-        out["lang_conf"] = confs
-        return out
+        )
 
 
-def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+def q_lang_id(sf_dir: str, concurrency: int | tuple[int, int] = 4) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     return ds.map_batches(
-        LangIdScorer, batch_format="pandas", batch_size=2048, concurrency=2
+        LangIdScorer, batch_format="pyarrow", batch_size=2048,
+        concurrency=concurrency, zero_copy_batch=True,
     )
 
 
+def _in_list(col: str, words: tuple[str, ...]) -> str:
+    quoted = ", ".join("'" + w + "'" for w in words)
+    return (
+        f"len(list_filter(ws, x -> x IN ({quoted}))) AS {col}"
+    )
+
+
+Q_LANG_ID_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         length(regexp_replace(text, '[^{LangIdScorer.CJK_CLASS}]', '', 'g')) AS cjk,
+         length(text) AS nchars,
+         list_transform(regexp_extract_all(text, '[{LangIdScorer.WORD_CLASS}]+'),
+                        x -> lower(x)) AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, cjk, nchars, len(ws) AS nw,
+         {_in_list("h_de", LangIdScorer.PROFILES["de"])},
+         {_in_list("h_en", LangIdScorer.PROFILES["en"])},
+         {_in_list("h_es", LangIdScorer.PROFILES["es"])},
+         {_in_list("h_fr", LangIdScorer.PROFILES["fr"])}
+  FROM w
+)
+SELECT doc_id, lang,
+  CASE WHEN cjk > 0 AND cjk >= nchars * 0.05 THEN 'zh'
+       WHEN nw = 0 THEN 'und'
+       WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  CASE WHEN cjk > 0 AND cjk >= nchars * 0.05 THEN 1.0
+       WHEN nw = 0 THEN 0.0
+       ELSE FLOOR(CAST(greatest(h_de, h_en, h_es, h_fr) AS DOUBLE) / nw * 1000000)
+            / 1000000 END AS lang_conf
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
-# Document fingerprinting — vectorized rolling hash (rows-only oracle)
+# Document fingerprinting — vectorized rolling hash (SQL-matched)
 # ---------------------------------------------------------------------------
 
 def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
-    """64-bit content fingerprint per doc (polynomial rolling hash over
-    UTF-8 bytes) + a coarse 16-bit bucket — the unit for shard-level
-    dedup bookkeeping at scale."""
+    """64-bit content fingerprint per doc (Horner fold of the Unicode
+    codepoints, mod 2^64) + a coarse 16-bit bucket — the unit for
+    shard-level dedup bookkeeping at scale.  Bit-identical to the
+    DuckDB list_reduce expression in Q_FINGERPRINTS_SQL."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(t: pa.Table) -> pa.Table:
-        h = stable_hash64(t["text"])
+        h = fingerprint64(t["text"])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -192,3 +258,19 @@ def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_FINGERPRINTS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             list_transform(range(1, length(text)+1), i -> unicode(text[i]))),
+             (a, x) -> (a * 1099511628211 + x) % 18446744073709551616) AS hu
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+            ELSE hu END AS BIGINT) AS fingerprint,
+       CAST(hu // 281474976710656 AS INTEGER) AS bucket
+FROM h
+"""
