@@ -64,8 +64,15 @@ def classify_batch(batch: pa.Table) -> pa.Table:
 EMPTY_DOC_KIND = "__empty__"  # sentinel span for zero-page documents
 
 
+# doc-level columns the explode consumes; anything else on the input
+# batch is treated as a passthrough column and replicated per span
+# (e.g. the checkpoint runner's partition_id)
+_CONSUMED_COLUMNS = frozenset({"doc_id", "spans", "is_scanned", "page_count"})
+
+
 def explode_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, spans, is_scanned, page_count) -> one row per span.
+    """(doc_id, spans, is_scanned, page_count, *extra) -> one row per
+    span; unrecognized input columns pass through (replicated per span).
 
     A document with an empty ``spans`` list would otherwise vanish from
     the pipeline; it gets one sentinel row (kind ``__empty__``) that the
@@ -75,6 +82,7 @@ def explode_batch(batch: pa.Table) -> pa.Table:
     spans = batch.column("spans").combine_chunks()
     flat = pc.list_flatten(spans)
     parent = pc.list_parent_indices(spans)
+    extra = [c for c in batch.column_names if c not in _CONSUMED_COLUMNS]
 
     out = pa.Table.from_arrays(
         [
@@ -88,6 +96,8 @@ def explode_batch(batch: pa.Table) -> pa.Table:
         ],
         schema=SPAN_ROWS_SCHEMA,
     )
+    for name in extra:
+        out = out.append_column(name, pc.take(batch.column(name), parent))
 
     empty_mask = pc.equal(pc.list_value_length(spans), 0)
     if pc.any(empty_mask).as_py():
@@ -105,6 +115,8 @@ def explode_batch(batch: pa.Table) -> pa.Table:
             ],
             schema=SPAN_ROWS_SCHEMA,
         )
+        for name in extra:
+            sentinel = sentinel.append_column(name, empties.column(name))
         out = pa.concat_tables([out, sentinel])
     return out
 

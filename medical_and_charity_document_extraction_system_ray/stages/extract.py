@@ -153,4 +153,13 @@ class SpanExtractor:
             out = out.append_column(
                 "words", pa.array(words, type=pa.list_(WORD_STRUCT))
             )
+        # rows are 1:1 with input: unrecognized input columns pass
+        # through (e.g. the checkpoint runner's partition_id)
+        consumed = {
+            "doc_id", "offset", "kind", "text", "media_ref",
+            "is_scanned", "page_count",
+        }
+        for name in batch.column_names:
+            if name not in consumed:
+                out = out.append_column(name, batch.column(name))
         return out

@@ -5,20 +5,28 @@ The reference's only resume facility is a directory scan for the next
 engine replaces it with real batch-pipeline checkpointing:
 
 - a **partition** is a fixed group of input files (a row is a complete
-  document, so documents never straddle partitions and the
-  groupby(doc_id) reassembly stays partition-local — no cross-partition
-  shuffle, no re-read amplification on resume);
-- each partition runs as its own (internally parallel) Ray pipeline
-  and commits atomically: results to ``part-{pid:05d}.tmp`` then one
-  ``os.replace`` rename; the manifest entry
-  ``{partition_id, fingerprint, rows, wall_ms, files}`` is written
-  last, also via tmp+rename;
-- resume = skip partitions whose manifest entry exists AND whose input
-  fingerprint still matches; everything else recomputes.
+  document, so documents never straddle partitions, no re-read
+  amplification on resume);
+- ALL dirty partitions run in ONE streaming Ray execution (the OCR
+  actor pool warms up once, not once per partition): the dirty groups
+  are unioned, run through the pipeline, re-keyed to their partition
+  via a doc_id -> partition_id hash join against a column-pruned side
+  read, and committed by a ``groupby(partition_id).map_groups`` write
+  stage — each group task writes ``part-{pid:05d}.tmp``, renames it
+  atomically, then writes the manifest entry
+  ``{partition_id, fingerprint, rows, wall_ms, files}`` (tmp+rename);
+- a kill mid-run loses only uncommitted partitions; resume = skip
+  partitions whose manifest entry parses AND whose input fingerprint
+  still matches; everything else recomputes.  Shrinking
+  ``num_partitions`` deletes now-out-of-range part dirs + manifest
+  entries (stale-output hazard); growing changes every fingerprint and
+  recomputes.
 
-At cluster scale the partition count is chosen so one partition is a
-few minutes of work (e.g. ~100 GB each at 100 TB); the driver loop is
-cheap relative to that.
+Assumption (pre-existing — the reassembly groupby already requires
+it): ``doc_id`` is unique across the whole input.  At cluster scale
+``out_dir`` must be shared storage and the partition count is chosen
+so one partition's OUTPUT fits a worker's heap (the commit stage holds
+one partition per task).
 """
 
 from __future__ import annotations
@@ -72,9 +80,15 @@ def load_manifest(out_dir: str) -> dict[int, dict]:
         return entries
     for name in os.listdir(mdir):
         if name.startswith("part-") and name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as f:
-                e = json.load(f)
-            entries[e["partition_id"]] = e
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    e = json.load(f)
+                entries[e["partition_id"]] = e
+            except (ValueError, OSError, KeyError):
+                # truncated / unparsable entry (e.g. a kill mid-write
+                # before the rename landed on a non-atomic fs): treat
+                # the partition as dirty instead of aborting the resume
+                continue
     return entries
 
 
@@ -90,70 +104,166 @@ def _write_manifest_entry(out_dir: str, entry: dict) -> None:
     os.replace(tmp, final)
 
 
+def _invalidate_extra_partitions(out_dir: str, manifest: dict[int, dict], n: int) -> None:
+    """Re-running with fewer partitions would leave stale part dirs +
+    manifest entries from the old partitioning: any consumer globbing
+    part-*/ would read duplicate rows.  Delete everything at
+    partition_id >= n."""
+    import shutil
+
+    for pid in [p for p in manifest if p >= n]:
+        mpath = os.path.join(_manifest_dir(out_dir), f"part-{pid:05d}.json")
+        if os.path.isfile(mpath):
+            os.remove(mpath)
+        pdir = os.path.join(out_dir, f"part-{pid:05d}")
+        if os.path.isdir(pdir):
+            shutil.rmtree(pdir)
+        del manifest[pid]
+    # stale dirs can also exist without a manifest entry (kill between
+    # rename and manifest write)
+    for name in os.listdir(out_dir):
+        if name.startswith("part-") and not name.endswith(".tmp"):
+            try:
+                pid = int(name.split("-")[1])
+            except ValueError:
+                continue
+            if pid >= n:
+                shutil.rmtree(os.path.join(out_dir, name))
+
+
 def run_with_checkpoints(
     files: list[str],
     out_dir: str,
     pipeline_fn: Callable[[ray.data.Dataset], ray.data.Dataset],
     num_partitions: int = 16,
     on_partition_done: Callable[[int], None] | None = None,
+    finalize_fn: "Callable | None" = None,
 ) -> dict:
     """Run ``pipeline_fn`` over the file groups with per-partition
-    checkpointing.  Returns a summary with per-partition metrics.
+    checkpointing — ONE streaming execution for all dirty partitions
+    (the actor pools warm up once, not once per partition; partitions
+    commit independently as their commit task finishes, so a kill only
+    loses uncommitted work).
 
-    ``on_partition_done`` is a test hook (e.g. raise to simulate a
-    kill after K partitions)."""
+    Contract: each dirty group is read and tagged with a
+    ``partition_id`` column; ``pipeline_fn`` must PRESERVE that column
+    (``extract_spans`` passes unrecognized columns through every
+    stage).  The commit stage groups by partition, applies
+    ``finalize_fn`` (e.g. ``reassemble_table`` — this folds the
+    pipeline's reassembly shuffle into the partition shuffle), writes
+    ``part-{pid:05d}`` atomically and commits the manifest entry.
+
+    ``on_partition_done`` is a driver-side hook invoked as each
+    partition's commit is observed (test hook: raise to simulate a
+    kill — partitions whose commit task already ran stay committed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     os.makedirs(out_dir, exist_ok=True)
     groups = partition_files(files, num_partitions)
     manifest = load_manifest(out_dir)
+    _invalidate_extra_partitions(out_dir, manifest, len(groups))
+    fps = {pid: _fingerprint(g) for pid, g in enumerate(groups)}
 
-    skipped, executed = [], []
-    for pid, group in enumerate(groups):
-        fp = _fingerprint(group)
+    skipped, dirty = [], []
+    for pid in range(len(groups)):
         prev = manifest.get(pid)
         part_dir = os.path.join(out_dir, f"part-{pid:05d}")
-        if prev is not None and prev["fingerprint"] == fp and os.path.isdir(part_dir):
+        if prev is not None and prev["fingerprint"] == fps[pid] and os.path.isdir(part_dir):
             skipped.append(pid)
-            continue
+        else:
+            dirty.append(pid)
 
-        t0 = time.time()
-        ds = ray.data.read_parquet(group)
-        out = pipeline_fn(ds)
-        tmp_dir = os.path.join(out_dir, f"part-{pid:05d}.tmp")
-        if os.path.isdir(tmp_dir):  # stale partial write from a kill
-            import shutil
+    if not dirty:
+        return {
+            "partitions": len(groups),
+            "executed": [],
+            "skipped": skipped,
+            "manifest": load_manifest(out_dir),
+        }
 
-            shutil.rmtree(tmp_dir)
-        out.write_parquet(tmp_dir)
-        # row count from the written files' metadata (no recompute)
-        import pyarrow.parquet as pq
-
-        rows = sum(
-            pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
-            for f in os.listdir(tmp_dir)
-            if f.endswith(".parquet")
+    t0 = time.time()
+    # ONE dataset over all dirty groups, each tagged at read time
+    parts = []
+    for pid in dirty:
+        p = ray.data.read_parquet(groups[pid]).map_batches(
+            lambda t, _pid=pid: t.append_column(
+                "partition_id", pa.array([_pid] * len(t), type=pa.int32())
+            ),
+            batch_format="pyarrow",
         )
-        if os.path.isdir(part_dir):
-            import shutil
+        parts.append(p)
+    main = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
+    out = pipeline_fn(main)
+
+    def write_commit(g: pa.Table) -> pa.Table:
+        import shutil
+
+        pid = int(g["partition_id"][0].as_py())
+        data = g.drop_columns(["partition_id"])
+        if finalize_fn is not None:
+            data = finalize_fn(data)
+        part_dir = os.path.join(out_dir, f"part-{pid:05d}")
+        tmp_dir = part_dir + ".tmp"
+        if os.path.isdir(tmp_dir):  # stale partial write from a kill
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
+        pq.write_table(data, os.path.join(tmp_dir, "data-00000.parquet"))
+        if os.path.isdir(part_dir):
             shutil.rmtree(part_dir)
         os.replace(tmp_dir, part_dir)
         _write_manifest_entry(
             out_dir,
             {
                 "partition_id": pid,
-                "fingerprint": fp,
-                "files": group,
-                "rows": rows,
+                "fingerprint": fps[pid],
+                "files": groups[pid],
+                "rows": len(data),
                 "wall_ms": int((time.time() - t0) * 1000),
             },
         )
-        executed.append(pid)
-        if on_partition_done is not None:
-            on_partition_done(pid)
+        return pa.table(
+            {
+                "partition_id": pa.array([pid], type=pa.int32()),
+                "rows": pa.array([len(data)], type=pa.int64()),
+            }
+        )
+
+    summary_ds = out.groupby("partition_id").map_groups(
+        write_commit, batch_format="pyarrow"
+    )
+
+    executed = []
+    for batch in summary_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if batch.num_rows == 0 or "partition_id" not in batch.column_names:
+            continue
+        for pid in batch["partition_id"].to_pylist():
+            executed.append(int(pid))
+            if on_partition_done is not None:
+                on_partition_done(int(pid))
+
+    # partitions whose group produced no rows never reach the commit
+    # stage: commit them as empty so resume doesn't recompute forever
+    for pid in dirty:
+        if pid not in executed:
+            part_dir = os.path.join(out_dir, f"part-{pid:05d}")
+            os.makedirs(part_dir, exist_ok=True)
+            _write_manifest_entry(
+                out_dir,
+                {
+                    "partition_id": pid,
+                    "fingerprint": fps[pid],
+                    "files": groups[pid],
+                    "rows": 0,
+                    "wall_ms": int((time.time() - t0) * 1000),
+                },
+            )
+            executed.append(pid)
 
     return {
         "partitions": len(groups),
-        "executed": executed,
+        "executed": sorted(executed),
         "skipped": skipped,
         "manifest": load_manifest(out_dir),
     }

@@ -55,7 +55,10 @@ def main() -> int:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     from medical_and_charity_document_extraction_system_ray.pipelines import (
-        extract_documents,
+        extract_spans,
+    )
+    from medical_and_charity_document_extraction_system_ray.stages.reassemble import (
+        reassemble_table,
     )
     from medical_and_charity_document_extraction_system_ray.state import (
         run_with_checkpoints,
@@ -81,7 +84,10 @@ def main() -> int:
     conc = args.concurrency or max(2, (ncpu * 3) // 4)
 
     def pipeline(ds):
-        return extract_documents(
+        # span-level pipeline only: the commit stage's groupby(partition)
+        # also performs the per-document reassembly (finalize_fn), so the
+        # run has ONE shuffle instead of reassembly + partition shuffles
+        return extract_spans(
             ds,
             engine=args.engine,
             language=args.language,
@@ -94,7 +100,8 @@ def main() -> int:
 
     t0 = time.time()
     summary = run_with_checkpoints(
-        files, args.output, pipeline, num_partitions=args.partitions
+        files, args.output, pipeline, num_partitions=args.partitions,
+        finalize_fn=reassemble_table,
     )
     wall = time.time() - t0
     rows = sum(e["rows"] for e in summary["manifest"].values())
