@@ -79,8 +79,8 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
+    def sessions(g: pd.DataFrame) -> pa.Table:
+        uids, n_sess, n_ev, max_ev = [], [], [], []
         for uid, grp in g.groupby("user_id", sort=True):
             ts = grp["ts"].sort_values().to_numpy()
             if len(ts) == 0:
@@ -90,19 +90,18 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
             gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
             new_session = gaps_us > gap_minutes * 60 * 1_000_000
             session_id = np.concatenate([[0], np.cumsum(new_session)])
-            n_sessions = int(session_id[-1]) + 1
-            lengths = np.bincount(session_id)
-            out.append(
-                {
-                    "user_id": uid,
-                    "n_sessions": n_sessions,
-                    "n_events": len(ts),
-                    "max_session_events": int(lengths.max()),
-                }
-            )
-        return pd.DataFrame(
-            out,
-            columns=["user_id", "n_sessions", "n_events", "max_session_events"],
+            uids.append(uid)
+            n_sess.append(int(session_id[-1]) + 1)
+            n_ev.append(len(ts))
+            max_ev.append(int(np.bincount(session_id).max()))
+        # explicit Arrow schema: empty groups emit the same schema
+        return pa.table(
+            {
+                "user_id": pa.array(uids, type=pa.int64()),
+                "n_sessions": pa.array(n_sess, type=pa.int64()),
+                "n_events": pa.array(n_ev, type=pa.int64()),
+                "max_session_events": pa.array(max_ev, type=pa.int64()),
+            }
         )
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
@@ -135,7 +134,11 @@ def q_asof_view_before_click(sf_dir: str) -> ray.data.Dataset:
     'view' by the same user (custom operator — Ray Data has no asof
     join; composed as groupby(user) + pd.merge_asof per group, the
     bucketed-sort pattern from the ray guide).  Partitioning
-    assumption: all events of a user fit one group."""
+    assumption: all events of a user fit one group.  Input assumption
+    shared with Q_ASOF_SQL: view timestamps are unique per user —
+    with duplicates, DuckDB's ASOF tie choice is unspecified while
+    merge_asof picks the last sorted row, so view_value could diverge
+    (testdata satisfies uniqueness)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
 
     def prefilter(t: pa.Table) -> pa.Table:
@@ -144,7 +147,16 @@ def q_asof_view_before_click(sf_dir: str) -> ray.data.Dataset:
 
     ds = ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
+    asof_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("click_ts", pa.timestamp("us")),
+            ("view_ts", pa.timestamp("us")),
+            ("view_value", pa.float64()),
+        ]
+    )
+
+    def asof(g: pd.DataFrame) -> pa.Table:
         outs = []
         for uid, grp in g.groupby("user_id", sort=True):
             clicks = (
@@ -170,10 +182,11 @@ def q_asof_view_before_click(sf_dir: str) -> ray.data.Dataset:
             m.insert(0, "user_id", uid)
             outs.append(m)
         if not outs:
-            return pd.DataFrame(
-                columns=["user_id", "click_ts", "view_ts", "view_value"]
-            )
-        return pd.concat(outs, ignore_index=True)
+            return asof_schema.empty_table()
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True), schema=asof_schema,
+            preserve_index=False,
+        )
 
     return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
 
@@ -190,11 +203,16 @@ def q_running_user_value(sf_dir: str) -> ray.data.Dataset:
     """Per-user running total of value in event-time order (window
     function analog): keyed shuffle, ts sort within group, exact
     integer-cents cumsum."""
-    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
-            {"user_id": t["user_id"], "ts": t["ts"], "value_c": _cents(t["value"])}
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "value_c": _cents(t["value"]),
+            }
         )
 
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
@@ -202,7 +220,10 @@ def q_running_user_value(sf_dir: str) -> ray.data.Dataset:
     def running(g: pd.DataFrame) -> pd.DataFrame:
         out = []
         for uid, grp in g.groupby("user_id", sort=True):
-            grp = grp.sort_values("ts")
+            # event_id = deterministic tie-break for duplicate ts (the
+            # SQL window orders the same way, so per-row running sums
+            # stay comparable even with ts collisions)
+            grp = grp.sort_values(["ts", "event_id"])
             cum = grp["value_c"].cumsum() / 100.0
             out.append(
                 pd.DataFrame(
@@ -213,9 +234,19 @@ def q_running_user_value(sf_dir: str) -> ray.data.Dataset:
                     }
                 )
             )
+        running_schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("running_value", pa.float64()),
+            ]
+        )
         if not out:
-            return pd.DataFrame(columns=["user_id", "ts", "running_value"])
-        return pd.concat(out, ignore_index=True)
+            return running_schema.empty_table()
+        return pa.Table.from_pandas(
+            pd.concat(out, ignore_index=True), schema=running_schema,
+            preserve_index=False,
+        )
 
     return ds.groupby("user_id").map_groups(running, batch_format="pandas")
 
@@ -223,7 +254,7 @@ def q_running_user_value(sf_dir: str) -> ray.data.Dataset:
 Q_RUNNING_SQL = """
 SELECT user_id, ts,
        SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
-         OVER (PARTITION BY user_id ORDER BY ts
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING) / 100.0 AS running_value
 FROM events
 """

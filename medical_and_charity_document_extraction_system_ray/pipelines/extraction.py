@@ -16,17 +16,31 @@ materializes the full dataset.  Scale knobs:
   300-DPI A4 would be ~25 MB -> drop batch size accordingly).
 - ``ocr_concurrency`` / ``num_cpus`` — actor-pool sizing; leave
   headroom for the read and shuffle stages.
-- ``repartition_blocks`` — optional post-explode repartition to
-  balance blocks when input files are few/skewed.
+- ``repartition_blocks`` — post-explode repartition to balance blocks
+  when input files are few/skewed.  Default (None) derives it from the
+  cluster CPU count: Ray fuses the explode (task pool) into the OCR
+  actor pool, capping in-flight tasks at the upstream block count, so
+  a single-file read (~16 blocks) would starve a 24-actor pool AND a
+  giant document's spans would serialize on one actor.  Pass 0 to
+  disable explicitly.
 """
 
 from __future__ import annotations
 
+import ray
 import ray.data
 
 from ..stages.classify import classify_and_explode
 from ..stages.extract import SpanExtractor
 from ..stages.reassemble import reassemble_table
+
+
+def _default_repartition_blocks() -> int:
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(16, ncpu * 4)
 
 
 def extract_spans(
@@ -46,6 +60,8 @@ def extract_spans(
     ds = ds.map_batches(
         classify_and_explode, batch_format="pyarrow", zero_copy_batch=True
     )
+    if repartition_blocks is None:
+        repartition_blocks = _default_repartition_blocks()
     if repartition_blocks:
         ds = ds.repartition(repartition_blocks)
     return ds.map_batches(

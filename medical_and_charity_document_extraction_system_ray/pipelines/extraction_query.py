@@ -45,8 +45,12 @@ Q_EXTRACT_SQL = (
     DERIVED_SPANS_SQL
     + """
 , cls AS (
+  -- ASCII-\\s trim (tabs/newlines included) to track the classifier's
+  -- whitespace strip; remaining divergence vs utf8_trim_whitespace is
+  -- unicode spaces only (absent from the corpus by construction)
   SELECT doc_id,
-         (SUM(length(trim(text_layer))) FILTER (WHERE k < 3) * 1.0
+         (SUM(length(regexp_replace(text_layer, '^\\s+|\\s+$', '', 'g')))
+            FILTER (WHERE k < 3) * 1.0
           / LEAST(3, MAX(n_pages))) < 50 AS is_scanned
   FROM spans GROUP BY doc_id
 ), out_pages AS (

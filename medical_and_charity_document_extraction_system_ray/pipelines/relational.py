@@ -370,21 +370,26 @@ def q_quantity_quantiles(sf_dir: str) -> ray.data.Dataset:
 
     ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
 
-    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+    def quantiles(g: pd.DataFrame) -> pa.Table:
+        flags, ns, meds, p90s = [], [], [], []
         for flag, grp in g.groupby("l_returnflag", sort=True):
             c = grp["qty_c"].to_numpy(dtype=np.float64)
-            rows.append(
-                {
-                    "l_returnflag": flag,
-                    "n": len(c),
-                    "median_qty": np.floor(np.median(c) / 100.0 * 1e6 + 1e-3) / 1e6,
-                    "p90_qty": np.floor(
-                        np.percentile(c, 90, method="linear") / 100.0 * 1e6 + 1e-3
-                    ) / 1e6,
-                }
+            flags.append(flag)
+            ns.append(len(c))
+            meds.append(np.floor(np.median(c) / 100.0 * 1e6 + 1e-3) / 1e6)
+            p90s.append(
+                np.floor(np.percentile(c, 90, method="linear") / 100.0 * 1e6 + 1e-3)
+                / 1e6
             )
-        return pd.DataFrame(rows, columns=["l_returnflag", "n", "median_qty", "p90_qty"])
+        # explicit Arrow schema: empty groups must emit the same schema
+        return pa.table(
+            {
+                "l_returnflag": pa.array(flags, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+                "median_qty": pa.array(meds, type=pa.float64()),
+                "p90_qty": pa.array(p90s, type=pa.float64()),
+            }
+        )
 
     return ds.groupby("l_returnflag").map_groups(quantiles, batch_format="pandas")
 
@@ -441,7 +446,15 @@ def q_top_orders_per_customer(sf_dir: str, k: int = 2) -> ray.data.Dataset:
         sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
     )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
+    topk_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+        ]
+    )
+
+    def topk(g: pd.DataFrame) -> pa.Table:
         out = []
         for cust, grp in g.groupby("o_custkey", sort=True):
             top = grp.sort_values(
@@ -449,10 +462,11 @@ def q_top_orders_per_customer(sf_dir: str, k: int = 2) -> ray.data.Dataset:
             ).head(k)
             out.append(top)
         if not out:
-            return pd.DataFrame(columns=["o_custkey", "o_orderkey", "o_totalprice"])
-        return pd.concat(out, ignore_index=True)[
+            return topk_schema.empty_table()
+        df = pd.concat(out, ignore_index=True)[
             ["o_custkey", "o_orderkey", "o_totalprice"]
         ]
+        return pa.Table.from_pandas(df, schema=topk_schema, preserve_index=False)
 
     return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
 

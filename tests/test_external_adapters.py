@@ -1,0 +1,165 @@
+"""Exercise the import-gated EasyOCR / PaddleOCR adapters with FAKED
+library modules injected into sys.modules, so the conversion math —
+quad -> ltwh bboxes, confidence x100, gray/RGBA -> 3-channel coercion,
+empty-result short-circuit — actually runs (the real libraries are not
+installable in this container; without the fakes the adapters are
+import-gated dead code)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from medical_and_charity_document_extraction_system_ray.engines import (
+    create_ocr_engine,
+)
+from medical_and_charity_document_extraction_system_ray.engines.base import (
+    EngineUnavailableError,
+)
+from medical_and_charity_document_extraction_system_ray.engines.external import (
+    EasyOCRAdapter,
+    PaddleOCRAdapter,
+)
+
+IMG = np.full((40, 120), 255, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# fakes
+# ---------------------------------------------------------------------------
+
+class _FakeEasyReader:
+    def __init__(self, lang_list, gpu=False):
+        self.lang_list = lang_list
+        self.gpu = gpu
+
+    def readtext(self, image):
+        # (quad corners tl, tr, br, bl), text, confidence in [0,1]
+        return [
+            ([(10, 5), (60, 5), (60, 20), (10, 20)], "hello", 0.9),
+            ([(70, 5), (110, 5), (110, 22), (70, 22)], "world", 0.7),
+        ]
+
+
+class _FakePaddleOCR:
+    def __init__(self, use_angle_cls=True, lang="en", show_log=False):
+        self.lang = lang
+        self.seen_images = []
+
+    def ocr(self, image, cls=True):
+        self.seen_images.append(image)
+        if image.shape[0] == 1:  # sentinel for the empty-result path
+            return [[]]
+        return [
+            [
+                ([[4, 2], [54, 3], [55, 18], [5, 19]], ("foo", 0.8)),
+                ([[60, 2], [100, 2], [100, 20], [60, 20]], ("bar", 0.6)),
+            ]
+        ]
+
+
+@pytest.fixture
+def fake_easyocr(monkeypatch):
+    mod = types.ModuleType("easyocr")
+    mod.Reader = _FakeEasyReader
+    monkeypatch.setitem(sys.modules, "easyocr", mod)
+    return mod
+
+
+@pytest.fixture
+def fake_paddleocr(monkeypatch):
+    mod = types.ModuleType("paddleocr")
+    mod.PaddleOCR = _FakePaddleOCR
+    monkeypatch.setitem(sys.modules, "paddleocr", mod)
+    return mod
+
+
+# ---------------------------------------------------------------------------
+# easyocr adapter
+# ---------------------------------------------------------------------------
+
+def test_easyocr_quad_to_ltwh_and_confidence(fake_easyocr):
+    eng = EasyOCRAdapter(language="eng")
+    eng.initialize()
+    assert eng.reader.lang_list == ["en"]  # 639-2 -> short-code mapping
+    out = eng.process_image(IMG)
+    assert out["text"] == "hello world"
+    assert out["word_count"] == 2
+    # confidence x100, rounded mean
+    assert out["confidence"] == pytest.approx(round((90.0 + 70.0) / 2, 2))
+    w0, w1 = out["words"]
+    assert w0["bbox"] == {"left": 10, "top": 5, "width": 50, "height": 15}
+    assert w1["bbox"] == {"left": 70, "top": 5, "width": 40, "height": 17}
+    assert w0["confidence"] == pytest.approx(90.0)
+    assert [w["line_num"] for w in out["words"]] == [0, 1]
+
+
+def test_easyocr_multilang_split(fake_easyocr):
+    eng = EasyOCRAdapter(language="eng+deu")
+    eng.initialize()
+    assert eng.reader.lang_list == ["en", "de"]
+
+
+def test_easyocr_reader_cached_across_calls(fake_easyocr):
+    eng = EasyOCRAdapter()
+    eng.initialize()
+    first = eng.reader
+    eng.process_image(IMG)
+    eng.process_image(IMG)
+    assert eng.reader is first  # warm state reused, not rebuilt
+
+
+# ---------------------------------------------------------------------------
+# paddle adapter
+# ---------------------------------------------------------------------------
+
+def test_paddle_quad_to_ltwh(fake_paddleocr):
+    eng = PaddleOCRAdapter(language="eng")
+    out = eng.process_image(IMG)
+    assert out["text"] == "foo bar"
+    w0 = out["words"][0]
+    # bbox from min/max over a skewed quad
+    assert w0["bbox"] == {"left": 4, "top": 2, "width": 51, "height": 17}
+    assert w0["confidence"] == pytest.approx(80.0)
+    assert out["confidence"] == pytest.approx(round((80.0 + 60.0) / 2, 2))
+
+
+def test_paddle_gray_and_rgba_coercion(fake_paddleocr):
+    eng = PaddleOCRAdapter()
+    eng.process_image(IMG)  # gray 2-D
+    assert eng.ocr.seen_images[-1].shape == (40, 120, 3)
+    rgba = np.zeros((40, 120, 4), dtype=np.uint8)
+    eng.process_image(rgba)
+    assert eng.ocr.seen_images[-1].shape == (40, 120, 3)
+
+
+def test_paddle_empty_result_short_circuit(fake_paddleocr):
+    eng = PaddleOCRAdapter()
+    out = eng.process_image(np.zeros((1, 8), dtype=np.uint8))
+    assert out["text"] == ""
+    assert out["confidence"] == 0.0
+    assert out["word_count"] == 0
+    assert out["words"] == []
+
+
+# ---------------------------------------------------------------------------
+# factory integration + unavailability gate
+# ---------------------------------------------------------------------------
+
+def test_factory_builds_adapters(fake_easyocr, fake_paddleocr):
+    e = create_ocr_engine("easyocr")
+    e.initialize()
+    assert isinstance(e, EasyOCRAdapter)
+    p = create_ocr_engine("paddle")
+    p.initialize()
+    assert isinstance(p, PaddleOCRAdapter)
+
+
+def test_unavailable_without_library(monkeypatch):
+    monkeypatch.setitem(sys.modules, "easyocr", None)  # forces ImportError
+    with pytest.raises(EngineUnavailableError):
+        EasyOCRAdapter().initialize()
+    monkeypatch.setitem(sys.modules, "paddleocr", None)
+    with pytest.raises(EngineUnavailableError):
+        PaddleOCRAdapter().initialize()
