@@ -80,24 +80,27 @@ def utf8_codepoints(text: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.nd
     row_of_byte = np.repeat(np.arange(n, dtype=np.int64), byte_lengths)
     # lead bytes: everything except 0b10xxxxxx continuations
     lead_pos = np.nonzero((data & 0xC0) != 0x80)[0]
-    b0 = data[lead_pos].astype(np.uint32)
+    b0 = data[lead_pos]
+    cp = b0.astype(np.uint32)
+    # multi-byte decode only where needed (ASCII-dominant corpora pay
+    # one mask + copy instead of evaluating every branch full-width)
+    multi = np.nonzero(b0 >= 0x80)[0]
+    if multi.size:
+        mpos = lead_pos[multi]
+        mb0 = cp[multi]
 
-    def nb(k: int) -> np.ndarray:
-        return data[np.minimum(lead_pos + k, total - 1)].astype(np.uint32) & 0x3F
+        def nb(k: int) -> np.ndarray:
+            return data[np.minimum(mpos + k, total - 1)].astype(np.uint32) & 0x3F
 
-    cp = np.where(
-        b0 < 0x80,
-        b0,
-        np.where(
-            b0 < 0xE0,
-            ((b0 & 0x1F) << 6) | nb(1),
+        cp[multi] = np.where(
+            mb0 < 0xE0,
+            ((mb0 & 0x1F) << 6) | nb(1),
             np.where(
-                b0 < 0xF0,
-                ((b0 & 0x0F) << 12) | (nb(1) << 6) | nb(2),
-                ((b0 & 0x07) << 18) | (nb(1) << 12) | (nb(2) << 6) | nb(3),
+                mb0 < 0xF0,
+                ((mb0 & 0x0F) << 12) | (nb(1) << 6) | nb(2),
+                ((mb0 & 0x07) << 18) | (nb(1) << 12) | (nb(2) << 6) | nb(3),
             ),
-        ),
-    )
+        )
     return cp.astype(np.uint64), row_of_byte[lead_pos]
 
 
@@ -120,18 +123,18 @@ def horner_mod64(
     starts = np.concatenate([[0], np.cumsum(lengths)])
     j_in_row = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lengths)
     expo = np.repeat(lengths, lengths) - 1 - j_in_row
-    # p^expo mod 2^64 via binary exponentiation over exponent bits
-    pos_pow = np.ones(total, dtype=np.uint64)
-    base = p
-    e = expo.astype(np.uint64)
+    # p^expo mod 2^64 via a precomputed power table + one gather (the
+    # table is max-row-length entries — tiny next to the value stream)
     max_e = int(lengths.max())
-    bit = 0
     with np.errstate(over="ignore"):
-        while (1 << bit) <= max_e:
-            mask = (e >> np.uint64(bit)) & np.uint64(1)
-            pos_pow = np.where(mask == 1, pos_pow * base, pos_pow)
-            base = base * base
-            bit += 1
+        ptable = np.empty(max_e + 1, dtype=np.uint64)
+        ptable[0] = np.uint64(1)
+        filled = 1
+        while filled <= max_e:  # vectorized doubling: O(log max_e) passes
+            m = min(filled, max_e + 1 - filled)
+            ptable[filled : filled + m] = ptable[:m] * (ptable[filled - 1] * p)
+            filled += m
+        pos_pow = ptable[expo]
         contrib = values.astype(np.uint64) * pos_pow
         # segment sums via wrap-safe cumsum (uint64 overflow wraps mod 2^64,
         # so cs[end] - cs[start] is the exact segment sum mod 2^64)

@@ -66,31 +66,59 @@ def bilateral_denoise(
     image: np.ndarray, d: int = 9, sigma_color: float = 75, sigma_space: float = 75
 ) -> np.ndarray:
     """Bilateral filter: gaussian space weight x gaussian range weight,
-    vectorized as a sum over the (d x d) shift lattice."""
+    vectorized as a sum over the (d x d) shift lattice.
+
+    Exploits the symmetry w(p, p+s) == w(p+s, p): only half the shifts
+    compute a |diff| + LUT gather; each pair's weight is applied twice —
+    once gather-style (center receives neighbor) and once scatter-style
+    into a shifted view (neighbor receives center).  Working frame is
+    the r-padded image over a 2r-padded source so the scatter stays
+    border-exact; the border ring is cropped at the end.  Buffers are
+    preallocated and reused across shifts (the loop is memory-bound)."""
     gray8 = to_gray(image)
-    gray = gray8.astype(np.float32)
+    h, w = gray8.shape
     r = d // 2
-    src8 = np.pad(gray8, r, mode="reflect")
-    src = src8.astype(np.float32)
-    h, w = gray.shape
-    num = np.zeros((h, w), dtype=np.float32)
-    den = np.zeros((h, w), dtype=np.float32)
+    src2 = np.pad(gray8, 2 * r, mode="reflect")
+    src16 = src2.astype(np.int16)
+    srcf = src2.astype(np.float32)
+    H1, W1 = h + 2 * r, w + 2 * r
+    c16 = src16[r : r + H1, r : r + W1]
+    cf = srcf[r : r + H1, r : r + W1]
     # range weights via a 256-entry LUT over |intensity diff| (exact for
     # uint8 inputs, ~4x cheaper than exp per pixel per shift)
     diffs = np.arange(256, dtype=np.float32)
-    range_lut = np.exp(-(diffs**2) / np.float32(2.0 * sigma_color**2)).astype(np.float32)
+    base_lut = np.exp(-(diffs**2) / np.float32(2.0 * sigma_color**2)).astype(np.float32)
     inv2_ss = 1.0 / (2.0 * sigma_space**2)
-    src16 = src8.astype(np.int16)
-    gray16 = gray8.astype(np.int16)
+    num = cf.copy()  # the (0, 0) shift: weight exactly 1
+    den = np.ones((H1, W1), dtype=np.float32)
+    tmp = np.empty((H1, W1), dtype=np.float32)
+    d16 = np.empty((H1, W1), dtype=np.int16)
+    wgt = np.empty((H1, W1), dtype=np.float32)
     for di in range(d):
         for dj in range(d):
-            sw = np.exp(-((di - r) ** 2 + (dj - r) ** 2) * inv2_ss)
-            adiff = np.abs(src16[di : di + h, dj : dj + w] - gray16)
-            # space weight folded into the LUT: one fancy-index pass
-            wgt = (range_lut * np.float32(sw))[adiff]
-            num += wgt * src[di : di + h, dj : dj + w]
+            a, b = di - r, dj - r
+            if (a, b) <= (0, 0):  # lexicographic upper half only
+                continue
+            sw = np.exp(-(a * a + b * b) * inv2_ss)
+            lut = base_lut * np.float32(sw)  # space weight folded in
+            n16 = src16[r + a : r + a + H1, r + b : r + b + W1]
+            nf = srcf[r + a : r + a + H1, r + b : r + b + W1]
+            np.subtract(n16, c16, out=d16)
+            np.abs(d16, out=d16)
+            np.take(lut, d16, out=wgt)
+            np.multiply(wgt, nf, out=tmp)
+            num += tmp
             den += wgt
-    return np.clip(num / den + 0.5, 0, 255).astype(np.uint8)
+            # mirrored shift: scatter the same weights into the +s view
+            sr = slice(max(0, -a), H1 - max(0, a))
+            dr = slice(max(0, a), H1 - max(0, -a))
+            sc = slice(max(0, -b), W1 - max(0, b))
+            dc = slice(max(0, b), W1 - max(0, -b))
+            np.multiply(wgt[sr, sc], cf[sr, sc], out=tmp[dr, dc])
+            num[dr, dc] += tmp[dr, dc]
+            den[dr, dc] += wgt[sr, sc]
+    out = num[r : r + h, r : r + w] / den[r : r + h, r : r + w]
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
 
 
 def nlm_denoise(

@@ -77,7 +77,13 @@ def detect_skew_hough(image: np.ndarray, angle_range: float = 45.0) -> float:
     else:
         vote_scale = 1
 
-    thetas = np.deg2rad(np.arange(180, dtype=np.float32))
+    # only thetas with |theta - 90| < angle_range can survive the final
+    # filter, so the accumulator never needs the other half of the
+    # theta axis — ~2x less work, bit-identical result
+    t_lo = max(0, int(np.floor(90.0 - angle_range)) + 1)
+    t_hi = min(180, int(np.ceil(90.0 + angle_range)))  # exclusive
+    n_t = t_hi - t_lo
+    thetas = np.deg2rad(np.arange(t_lo, t_hi, dtype=np.float32))
     diag = int(np.ceil(np.hypot(*gray.shape)))
     cos_t = np.cos(thetas)
     sin_t = np.sin(thetas)
@@ -91,15 +97,15 @@ def detect_skew_hough(image: np.ndarray, angle_range: float = 45.0) -> float:
     ).astype(np.int32)  # int32: float32->int64 casts hit a slow numpy path
     nbins = 2 * diag + 1
     flat = (
-        np.broadcast_to(np.arange(180, dtype=np.int32)[None, :], rho.shape) * nbins
+        np.broadcast_to(np.arange(n_t, dtype=np.int32)[None, :], rho.shape) * nbins
         + rho
     ).reshape(-1)
-    acc = np.bincount(flat, minlength=180 * nbins).reshape(180, nbins)
+    acc = np.bincount(flat, minlength=n_t * nbins).reshape(n_t, nbins)
 
     t_idx, _ = np.nonzero(acc >= max(1, 100 // vote_scale))
     if t_idx.size == 0:
         return 0.0
-    angles = t_idx.astype(np.float64) - 90.0
+    angles = (t_idx + t_lo).astype(np.float64) - 90.0
     angles = angles[np.abs(angles) < angle_range]
     if angles.size == 0:
         return 0.0

@@ -213,13 +213,23 @@ def q_minhash_lsh_pairs(
     bands: int = 32,
     jaccard_threshold: float = 0.5,
     join_partitions: int = 8,
+    broadcast_pairs_threshold: int = 200_000,
 ) -> ray.data.Dataset:
     """Near-dup pairs via MinHash banding, shuffle-light:
 
     signatures -> (band_hash, doc_id) rows [NO text] -> bucket groupby
-    -> candidate pairs -> groupby-distinct -> two hash joins re-attach
-    texts -> exact shingle-Jaccard verify (one vectorized shingle pass
-    per batch, no per-pair recompute).
+    -> candidate pairs -> texts re-attached -> exact shingle-Jaccard
+    verify (one vectorized shingle pass per batch, no per-pair
+    recompute).
+
+    Text re-attachment is adaptive: when the candidate count (counted
+    off a materialized candidate set — it is the SMALL side) is under
+    ``broadcast_pairs_threshold``, the pair list is pulled to the
+    driver, the needed texts are fetched with one shuffle-free filtered
+    scan and broadcast via ``ray.put`` — 1 shuffle total.  Above the
+    threshold (dup-heavy corpora at scale) it falls back to
+    groupby-distinct + two hash joins — still never shipping
+    bands x text through the LSH shuffle.
 
     With bands=32 (2 hashes/band) a pair at the 0.5 threshold is missed
     with p=(1-0.25)^32 ~ 1e-4 and the corpus' true pairs (all at
@@ -264,15 +274,118 @@ def q_minhash_lsh_pairs(
         return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
 
     cand = band_rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+
+    def verify_pairs(doc_a, doc_b, texts_a, texts_b) -> pa.Table:
+        """Exact shingle-Jaccard over aligned pair arrays — ONE
+        vectorized shingle pass over text_a ++ text_b."""
+        n = len(doc_a)
+        if n == 0:
+            return _PAIR_SCHEMA.empty_table()
+        combined = pa.chunked_array([texts_a, texts_b]).combine_chunks()
+        sh, rows = _shingle_hashes(combined)
+        vals, offs = _sorted_unique_rowsets(sh, rows, 2 * n)
+        jac = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            a = vals[offs[i] : offs[i + 1]]
+            b = vals[offs[n + i] : offs[n + i + 1]]
+            inter = _intersect_size(a, b)
+            union = a.size + b.size - inter
+            jac[i] = inter / union if union else 1.0
+        jac = np.floor(jac * 1e6) / 1e6
+        keep = jac >= jaccard_threshold
+        return pa.table(
+            {
+                "doc_a": pc.cast(doc_a.filter(pa.array(keep)), pa.int64()),
+                "doc_b": pc.cast(doc_b.filter(pa.array(keep)), pa.int64()),
+                "jaccard": pa.array(jac[keep]),
+            },
+            schema=_PAIR_SCHEMA,
+        )
+
+    # candidate set is the SMALL side: materialize it (object store, not
+    # driver) to count it and pick the text re-attachment strategy
+    import ray
+
+    cand_m = cand.materialize()
+    if cand_m.count() <= broadcast_pairs_threshold:
+        # -- broadcast path: 1 shuffle total ------------------------------
+        blocks = [
+            ray.get(r)
+            for bundle in cand_m.iter_internal_ref_bundles()
+            for r in bundle.block_refs
+        ]
+        blocks = [b for b in blocks if b.num_rows and "doc_a" in b.column_names]
+        if not blocks:
+            return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+        raw = pa.concat_tables(blocks)
+        ab = np.stack(
+            [
+                raw["doc_a"].to_numpy(zero_copy_only=False),
+                raw["doc_b"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        pairs = np.unique(ab, axis=0)  # global pair dedup, driver-side
+        need_ids = np.unique(pairs)  # sorted union of both columns
+        ids_ref = ray.put(need_ids)
+
+        def fetch(t: pa.Table) -> pa.Table:
+            mask = np.isin(
+                t["doc_id"].to_numpy(zero_copy_only=False), ray.get(ids_ref)
+            )
+            return t.filter(pa.array(mask))
+
+        # shuffle-free filtered scan; collected texts bounded by 2x pairs
+        fetched = pa.concat_tables(
+            [
+                ray.get(r)
+                for bundle in ds.map_batches(
+                    fetch, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .materialize()
+                .iter_internal_ref_bundles()
+                for r in bundle.block_refs
+                if True
+            ]
+        )
+        order = np.argsort(fetched["doc_id"].to_numpy(zero_copy_only=False))
+        lookup_ids = fetched["doc_id"].to_numpy(zero_copy_only=False)[order]
+        lookup_texts = fetched["text"].combine_chunks().take(pa.array(order))
+        lookup_ref = ray.put((lookup_ids, lookup_texts))
+
+        pair_ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array(pairs[:, 0], type=pa.int64()),
+                    "doc_b": pa.array(pairs[:, 1], type=pa.int64()),
+                }
+            )
+        )
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return _PAIR_SCHEMA.empty_table()
+            lids, ltexts = ray.get(lookup_ref)
+            ia = np.searchsorted(lids, t["doc_a"].to_numpy(zero_copy_only=False))
+            ib = np.searchsorted(lids, t["doc_b"].to_numpy(zero_copy_only=False))
+            return verify_pairs(
+                t["doc_a"].combine_chunks(),
+                t["doc_b"].combine_chunks(),
+                ltexts.take(pa.array(ia)),
+                ltexts.take(pa.array(ib)),
+            )
+
+        return pair_ds.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    # -- join path (dup-heavy corpora at scale) ---------------------------
     # global pair dedup (a pair can surface in several bands/buckets)
-    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
+    uniq = cand_m.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
     # repartition absorbs the aggregate's zero-column empty-partition
     # blocks, which would otherwise break the hash join (FieldRef error)
     uniq = uniq.repartition(join_partitions).map_batches(
         _with_schema(pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])),
         batch_format="pyarrow",
     )
-
     # re-attach texts: two hash joins against the documents table — the
     # shuffle moves candidate pairs (small) + the doc table once, never
     # bands x text
@@ -287,31 +400,13 @@ def q_minhash_lsh_pairs(
     ).join(docs_b, join_type="inner", num_partitions=join_partitions, on=("doc_b",))
 
     def verify(t: pa.Table) -> pa.Table:
-        n = len(t)
-        if n == 0:
+        if len(t) == 0:
             return _PAIR_SCHEMA.empty_table()
-        # ONE vectorized shingle pass over text_a ++ text_b
-        combined = pa.chunked_array(
-            [t["text_a"].combine_chunks(), t["text_b"].combine_chunks()]
-        ).combine_chunks()
-        sh, rows = _shingle_hashes(combined)
-        vals, offs = _sorted_unique_rowsets(sh, rows, 2 * n)
-        jac = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            a = vals[offs[i] : offs[i + 1]]
-            b = vals[offs[n + i] : offs[n + i + 1]]
-            inter = _intersect_size(a, b)
-            union = a.size + b.size - inter
-            jac[i] = inter / union if union else 1.0
-        jac = np.floor(jac * 1e6) / 1e6
-        keep = jac >= jaccard_threshold
-        return pa.table(
-            {
-                "doc_a": t["doc_a"].combine_chunks().filter(pa.array(keep)),
-                "doc_b": t["doc_b"].combine_chunks().filter(pa.array(keep)),
-                "jaccard": pa.array(jac[keep]),
-            },
-            schema=_PAIR_SCHEMA,
+        return verify_pairs(
+            t["doc_a"].combine_chunks(),
+            t["doc_b"].combine_chunks(),
+            t["text_a"].combine_chunks(),
+            t["text_b"].combine_chunks(),
         )
 
     return withtext.map_batches(verify, batch_format="pyarrow")
