@@ -265,6 +265,9 @@ def q_minhash_lsh_pairs(
         )
 
     band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow", zero_copy_batch=True)
+    # coalesce so the bucket shuffle has ~8 buckets per partition: every
+    # partition is non-empty, so the groupby emits no schema-less blocks
+    band_rows = band_rows.repartition(max(2, _COARSE_BUCKETS // 8))
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         a, b = _run_pairs(

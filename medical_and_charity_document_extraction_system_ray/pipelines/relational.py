@@ -79,6 +79,10 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         return g
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # <=8 final groups: single-partition merge (the per-batch partials
+    # already did the heavy reduction) — also keeps every aggregate
+    # output partition non-empty, so no schema-less empty blocks
+    partials = partials.repartition(1)
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("qty_c_sum", alias_name="s_qty"),
         Sum("price_c_sum", alias_name="s_price"),
