@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall": similarity.q_knn_ivf_recall,
         # multimodal plumbing
         "media_features": multimodal.q_media_features,
+        "media_features_geometry": multimodal.q_media_features_geometry,
         "page_regions": multimodal.q_page_regions,
     }
 
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": dedup.Q_EMB_NEARDUP_LSH_SQL,
         "knn_bruteforce": similarity.Q_KNN_SQL,
         "knn_ivf_recall": similarity.Q_KNN_IVF_RECALL_SQL,
+        "media_features_geometry": multimodal.Q_MEDIA_GEOM_SQL,
         # rows-only (genuinely non-value-oracle-able): the production
         # probabilistic operators themselves — approx_distinct_users
         # (KMV estimate; bound gated by approx_distinct_check), knn_ivf

@@ -89,13 +89,17 @@ class MediaFeatureExtractor:
             except Exception as e:
                 error[i] = str(e)
                 success[i] = False
+        # 1e-3 grid epsilon (the cosine recipe): the SQL oracle computes
+        # these from the band-codec bit counts, the pipeline from the
+        # rendered pixels — identical rationals up to float summation
+        # order, so both floor on the nudged grid
         cols = {
             "media_ref": batch.column("media_ref"),
             "height": pa.array(height),
             "width": pa.array(width),
-            "mean_intensity": pa.array(np.floor(mean * 1e6) / 1e6),
-            "std_intensity": pa.array(np.floor(std * 1e6) / 1e6),
-            "ink_ratio": pa.array(np.floor(ink_ratio * 1e6) / 1e6),
+            "mean_intensity": pa.array(np.floor(mean * 1e6 + 1e-3) / 1e6),
+            "std_intensity": pa.array(np.floor(std * 1e6 + 1e-3) / 1e6),
+            "ink_ratio": pa.array(np.floor(ink_ratio * 1e6 + 1e-3) / 1e6),
             "thumb_hash": pa.array(thumb_hash),
             "error": pa.array(error),
             "success": pa.array(success),
@@ -136,6 +140,88 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def q_media_features_geometry(sf_dir: str) -> ray.data.Dataset:
+    """Value-oracled slice of ``q_media_features``: height/width, mean
+    and std intensity, ink ratio.  Because the band codec is an exact
+    function of the page text's UTF-8 bytes, the DuckDB oracle
+    recomputes every value from byte/bit counts alone — including the
+    CRC32 header (computed in SQL via a list_reduce-generated CRC
+    table).  thumb_hash (bilinear resample) stays in the rows-only
+    parent query."""
+    feats = q_media_features(sf_dir)
+    return feats.map_batches(
+        lambda t: t.select(
+            ["doc_id", "offset", "height", "width", "mean_intensity",
+             "std_intensity", "ink_ratio", "success"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# band-codec geometry model (fixtures/media.py): payload = utf-8 bytes
+# of the chunk; header = magic 0xFF + 2-byte length + crc32(length +
+# payload); image = ceil((7+len)/16) cell-rows of 16 bytes x 8 bit-cells
+# of 4x4 px inside a 12 px margin; ink pixels = 16 x popcount(header +
+# payload).
+from ..sources.derive import DERIVED_SPANS_SQL as _SPANS_SQL  # noqa: E402
+
+Q_MEDIA_GEOM_SQL = (
+    _SPANS_SQL
+    + """
+, media AS (
+  SELECT doc_id, k, chunk FROM spans WHERE is_media
+), enc AS (
+  SELECT doc_id, k,
+         flatten(list_transform(
+             list_transform(range(1, length(chunk)+1), i -> unicode(chunk[i])),
+             cp -> CASE
+               WHEN cp < 128 THEN [cp]
+               WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+               WHEN cp < 65536 THEN
+                 [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+               ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+                     128 + (cp // 64) % 64, 128 + cp % 64]
+             END)) AS pb
+  FROM media
+), crctab AS (
+  SELECT list_transform(range(0, 256), i ->
+      list_reduce(list_prepend(CAST(i AS BIGINT), [0,0,0,0,0,0,0,0]),
+        (c, x) -> CASE WHEN c % 2 = 1 THEN xor(3988292384, c // 2)
+                       ELSE c // 2 END)) AS tab
+), feat AS (
+  SELECT e.doc_id, e.k, len(e.pb) AS L,
+         xor(list_reduce(
+               list_prepend(CAST(4294967295 AS BIGINT),
+                 list_concat([(len(e.pb) // 256) % 256, len(e.pb) % 256], e.pb)),
+               (c, x) -> xor(t.tab[(xor(c, x) % 256) + 1], c // 256)),
+             4294967295) AS crc,
+         8 + bit_count(CAST(len(e.pb) AS BIGINT))
+           + CAST(list_sum(list_transform(e.pb, b -> bit_count(CAST(b AS BIGINT)))) AS BIGINT)
+           AS bits_no_crc
+  FROM enc e, crctab t
+), geom AS (
+  SELECT doc_id, k,
+         CAST(CEIL((7 + L) / 16.0) AS INTEGER) * 4 + 24 AS height,
+         536 AS width,
+         (bits_no_crc + bit_count(crc)) * 16 AS ink_px
+  FROM feat
+)
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(k AS INTEGER) AS "offset",
+       height, width,
+       FLOOR(255.0 * (height * 536 - ink_px) / (height * 536) * 1000000 + 0.001)
+         / 1000000 AS mean_intensity,
+       FLOOR(255.0 * sqrt((CAST(ink_px AS DOUBLE) / (height * 536))
+                          * (1 - CAST(ink_px AS DOUBLE) / (height * 536)))
+             * 1000000 + 0.001) / 1000000 AS std_intensity,
+       FLOOR(CAST(ink_px AS DOUBLE) / (height * 536) * 1000000 + 0.001)
+         / 1000000 AS ink_ratio,
+       TRUE AS success
+FROM geom
+"""
+)
 
 
 class LayoutAnalyzer:

@@ -15,10 +15,14 @@ Schemes:
   interleaved table is derived from a flat corpus: the page text rides
   inside the ref and is rendered on demand.
 - ``npy://{path}`` — raw ndarray on disk (np.load).
-- anything else (real image files: png/jpg/tiff) — requires an image
-  codec; the container ships none, so this raises
-  ``NotImplementedError`` per the multimodal-stub policy.  The Ray-side
-  plumbing (actor signature, batch layout) is identical for all schemes.
+- ``file://{path}`` or a bare path ending ``.png``/``.bmp`` — decoded
+  with the pure-python codec (``sources/imagecodec.py``; stdlib zlib
+  only, the reference's ``cv2.imread`` analog for the formats simple
+  enough to implement exactly).
+- ``.jpg``/``.tiff`` — still a marked ``NotImplementedError`` stub
+  (DCT/LZW decode needs an imaging library this container lacks).  The
+  Ray-side plumbing (actor signature, batch layout) is identical for
+  all schemes.
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ from ..fixtures.media import MEM_SCHEME, encode_text_image, parse_mem_ref
 
 B64_SCHEME = "memb64://"
 NPY_SCHEME = "npy://"
+FILE_SCHEME = "file://"
 
 # extension allow-list for media file refs (reference
 # ``validate_image_format`` + ALLOWED_EXTENSIONS, file_utils.py:271-273,
@@ -79,10 +84,17 @@ class MediaResolver:
             return encode_text_image(text)
         if media_ref.startswith(NPY_SCHEME):
             return np.load(media_ref[len(NPY_SCHEME) :])
+        path = media_ref[len(FILE_SCHEME) :] if media_ref.startswith(FILE_SCHEME) else media_ref
+        if path.lower().endswith((".png", ".bmp")):
+            from .imagecodec import decode_image_bytes
+
+            with open(path, "rb") as f:
+                return decode_image_bytes(f.read(), ref=media_ref)
         raise NotImplementedError(
             f"no image codec available for media_ref {media_ref!r}; "
-            "png/jpg decode requires an imaging library not present in "
-            "this environment (stubbed per multimodal policy)"
+            "jpg/tiff decode requires an imaging library not present in "
+            "this environment (stubbed per multimodal policy); png/bmp "
+            "are decoded by the built-in pure-python codec"
         )
 
 
