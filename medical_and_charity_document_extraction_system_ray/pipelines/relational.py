@@ -318,28 +318,47 @@ SELECT nationkey, COUNT(*) AS n FROM (
 # Group-concatenate: the PDF-merge analog (SURVEY.md §2.6 merge_pdfs)
 # ---------------------------------------------------------------------------
 
+_MERGE_PAGE_CHARS = 200  # page model shared with sources/derive.py
+
+
 def q_merge_documents(sf_dir: str) -> ray.data.Dataset:
     """N documents -> one merged text per source, pages joined in
     doc_id order — the engine analog of the reference's merge_pdfs
-    (pdf_service.py:23-85): group-and-concatenate, inverse of the span
-    explode."""
+    (pdf_service.py:23-85) INCLUDING its skip semantics: unreadable
+    inputs (here: empty text, the missing/encrypted-PDF analog) are
+    skipped and counted, and merged page totals are reported
+    (insert_pdf page accounting)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
     def merge(t: pa.Table) -> pa.Table:
         t = t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
         src = t["source"].to_pylist()
         texts = t["text"].to_pylist()
+        lens = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        pages = -(-lens // _MERGE_PAGE_CHARS)  # ceil; 0 for empty text
         ids = np.asarray(src, dtype=object)
         bounds = np.nonzero(ids[1:] != ids[:-1])[0] + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(ids)]])
+        out_src, n_docs, n_merged, n_skipped, total_pages, merged = (
+            [], [], [], [], [], []
+        )
+        for s, e in zip(starts, ends):
+            keep = [i for i in range(s, e) if lens[i] > 0]
+            out_src.append(src[s])
+            n_docs.append(int(e - s))
+            n_merged.append(len(keep))
+            n_skipped.append(int(e - s) - len(keep))
+            total_pages.append(int(pages[keep].sum()) if keep else 0)
+            merged.append("\n\n".join(texts[i] for i in keep))
         return pa.table(
             {
-                "source": pa.array([src[s] for s in starts]),
-                "n_docs": pa.array([int(e - s) for s, e in zip(starts, ends)], pa.int64()),
-                "merged_text": pa.array(
-                    ["\n\n".join(texts[s:e]) for s, e in zip(starts, ends)]
-                ),
+                "source": pa.array(out_src, type=pa.string()),
+                "n_docs": pa.array(n_docs, type=pa.int64()),
+                "n_merged": pa.array(n_merged, type=pa.int64()),
+                "n_skipped": pa.array(n_skipped, type=pa.int64()),
+                "total_pages": pa.array(total_pages, type=pa.int64()),
+                "merged_text": pa.array(merged, type=pa.string()),
             }
         )
 
@@ -348,7 +367,12 @@ def q_merge_documents(sf_dir: str) -> ray.data.Dataset:
 
 Q_MERGE_SQL = """
 SELECT source, COUNT(*) AS n_docs,
-       STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id) AS merged_text
+       CAST(COUNT(*) FILTER (WHERE length(text) > 0) AS BIGINT) AS n_merged,
+       CAST(COUNT(*) FILTER (WHERE length(text) = 0) AS BIGINT) AS n_skipped,
+       CAST(COALESCE(SUM(CAST(CEIL(length(text) / 200.0) AS BIGINT))
+                     FILTER (WHERE length(text) > 0), 0) AS BIGINT) AS total_pages,
+       COALESCE(STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id)
+                FILTER (WHERE length(text) > 0), '') AS merged_text
 FROM documents GROUP BY source
 """
 

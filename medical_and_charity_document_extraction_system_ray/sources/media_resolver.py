@@ -84,17 +84,28 @@ class MediaResolver:
             return encode_text_image(text)
         if media_ref.startswith(NPY_SCHEME):
             return np.load(media_ref[len(NPY_SCHEME) :])
-        path = media_ref[len(FILE_SCHEME) :] if media_ref.startswith(FILE_SCHEME) else media_ref
-        if path.lower().endswith((".png", ".bmp")):
-            from .imagecodec import decode_image_bytes
+        from ..errors import MediaCodecUnavailableError, MediaSchemeError
 
-            with open(path, "rb") as f:
-                return decode_image_bytes(f.read(), ref=media_ref)
-        raise NotImplementedError(
-            f"no image codec available for media_ref {media_ref!r}; "
-            "jpg/tiff decode requires an imaging library not present in "
-            "this environment (stubbed per multimodal policy); png/bmp "
-            "are decoded by the built-in pure-python codec"
+        if media_ref.startswith(FILE_SCHEME) or "://" not in media_ref:
+            path = (
+                media_ref[len(FILE_SCHEME) :]
+                if media_ref.startswith(FILE_SCHEME)
+                else media_ref
+            )
+            if path.lower().endswith((".png", ".bmp")):
+                from .imagecodec import decode_image_bytes
+
+                with open(path, "rb") as f:
+                    return decode_image_bytes(f.read(), ref=media_ref)
+            raise MediaCodecUnavailableError(
+                f"no image codec available for media_ref {media_ref!r}; "
+                "jpg/tiff decode requires an imaging library not present "
+                "in this environment (stubbed per multimodal policy); "
+                "png/bmp are decoded by the built-in pure-python codec"
+            )
+        raise MediaSchemeError(
+            f"no reader for media scheme in {media_ref!r}; a deployment "
+            "plugs remote readers (s3/http) into MediaResolver"
         )
 
 

@@ -34,6 +34,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..engines import create_ocr_engine
+from ..errors import stable_error_code
 from ..kernels.html import strip_boilerplate
 from ..kernels.preprocess import PreprocessConfig, preprocess_image_array
 from ..fixtures.media import encode_text_image
@@ -124,9 +125,9 @@ class SpanExtractor:
                 word_count[i] = 0
                 char_count[i] = 0
                 error[i] = str(e)
-                # structured error taxonomy analog (exceptions.py:4-280):
-                # the exception class name is the stable error code
-                error_code[i] = type(e).__name__
+                # structured error taxonomy (exceptions.py:4-280 analog):
+                # stable codes survive class renames / library swaps
+                error_code[i] = stable_error_code(e)
                 success[i] = False
 
         out = pa.Table.from_arrays(

@@ -54,7 +54,7 @@ def test_error_code_column():
     )
     row = SpanExtractor()(batch).to_pylist()[0]
     assert row["success"] is False
-    assert row["error_code"] == "NotImplementedError"
+    assert row["error_code"] == "MEDIA_UNSUPPORTED_SCHEME"
     # happy rows carry empty code
     batch2 = pa.Table.from_pylist(
         [
@@ -178,3 +178,69 @@ def test_include_pages_golden_tree():
     assert r["total_characters"] == sum(p["character_count"] for p in pages)
     avg = round(sum(p["confidence"] for p in pages) / len(pages), 2)
     assert r["average_confidence"] == avg
+
+
+def test_stable_error_codes():
+    from medical_and_charity_document_extraction_system_ray.errors import (
+        MediaCodecUnavailableError,
+        MediaSchemeError,
+        OcrProcessingError,
+        stable_error_code,
+    )
+
+    assert stable_error_code(MediaSchemeError("x")) == "MEDIA_UNSUPPORTED_SCHEME"
+    assert stable_error_code(MediaCodecUnavailableError("x")) == "MEDIA_CODEC_UNAVAILABLE"
+    assert stable_error_code(OcrProcessingError("x")) == "OCR_PROCESSING_FAILED"
+    assert stable_error_code(FileNotFoundError("x")) == "MEDIA_NOT_FOUND"
+    assert stable_error_code(NotImplementedError("x")) == "MEDIA_CODEC_UNAVAILABLE"
+    assert stable_error_code(ValueError("x")) == "INVALID_VALUE"
+    # IsADirectoryError is an OSError subclass -> mapped through the MRO
+    assert stable_error_code(IsADirectoryError("x")) == "IO_ERROR"
+
+    class Weird(Exception):
+        pass
+
+    assert stable_error_code(Weird()) == "UNCLASSIFIED_Weird"
+
+
+def test_missing_local_png_is_error_row():
+    batch = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "e3", "offset": 0, "kind": "media", "text": "",
+                "media_ref": "/nonexistent/page.png", "is_scanned": True,
+                "page_count": 1,
+            }
+        ]
+    )
+    row = SpanExtractor()(batch).to_pylist()[0]
+    assert row["success"] is False
+    assert row["error_code"] == "MEDIA_NOT_FOUND"
+
+
+def test_merge_skip_accounting(tmp_path):
+    """merge_pdfs skip semantics: empty-text docs (the missing/encrypted
+    analog) are skipped and counted; page totals reported."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_and_charity_document_extraction_system_ray.pipelines.relational import (
+        q_merge_documents,
+    )
+
+    rows = [
+        {"doc_id": 1, "source": "s1", "text": "x" * 450},   # 3 pages
+        {"doc_id": 2, "source": "s1", "text": ""},          # skipped
+        {"doc_id": 3, "source": "s1", "text": "short"},     # 1 page
+        {"doc_id": 4, "source": "s2", "text": ""},          # all skipped
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = q_merge_documents(str(tmp_path)).to_pandas().set_index("source")
+    s1 = out.loc["s1"]
+    assert (s1["n_docs"], s1["n_merged"], s1["n_skipped"]) == (3, 1 + 1, 1)
+    assert s1["total_pages"] == 4
+    assert s1["merged_text"] == "x" * 450 + "\n\n" + "short"
+    s2 = out.loc["s2"]
+    assert (s2["n_docs"], s2["n_merged"], s2["n_skipped"]) == (1, 0, 1)
+    assert s2["total_pages"] == 0 and s2["merged_text"] == ""
