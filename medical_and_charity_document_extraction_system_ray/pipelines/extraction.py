@@ -40,7 +40,9 @@ def _default_repartition_blocks() -> int:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
-    return max(16, ncpu * 4)
+    # ~8 tasks per actor at the tuned 7/8-of-CPUs pool ratio: enough
+    # granularity to damp straggler tails without per-task overhead
+    return max(16, ncpu * 7)
 
 
 def extract_spans(

@@ -81,7 +81,7 @@ def main() -> int:
             print(f"removed stale partials: {removed}", file=sys.stderr)
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    conc = args.concurrency or max(2, (ncpu * 3) // 4)
+    conc = args.concurrency or max(2, (ncpu * 7) // 8)
 
     def pipeline(ds):
         # span-level pipeline only: the commit stage's groupby(partition)
@@ -95,7 +95,7 @@ def main() -> int:
             document_type=args.document_type,
             ocr_concurrency=conc,
             ocr_batch_size=args.batch_size,
-            repartition_blocks=ncpu * 4,
+            repartition_blocks=ncpu * 7,
         )
 
     t0 = time.time()

@@ -59,7 +59,7 @@ def test_extractor_error_rows_for_bad_media():
     assert row["success"] is False
     assert row["text"] == ""
     assert row["confidence"] == 0.0
-    assert "codec" in row["error"] or "media_ref" in row["error"]
+    assert "scheme" in row["error"] or "media_ref" in row["error"]
 
 
 def test_reassemble_multi_group_segment_safety():

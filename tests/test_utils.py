@@ -78,4 +78,4 @@ def test_media_feature_extractor_error_rows():
     batch = pa.table({"media_ref": ["memb64://" + "aGVsbG8=", "s3://x/y.png"]})
     out = MediaFeatureExtractor()(batch).to_pylist()
     assert out[0]["success"] is True
-    assert out[1]["success"] is False and "codec" in out[1]["error"]
+    assert out[1]["success"] is False and "scheme" in out[1]["error"]
