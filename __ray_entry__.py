@@ -24,6 +24,7 @@ from medical_and_charity_document_extraction_system_ray.pipelines import (
     extraction_query,
     multimodal,
     relational,
+    scalar_suite,
     similarity,
     sketches,
     text_analysis,
@@ -52,6 +53,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_nation_counts": relational.q_union_nation_counts,
         "merge_documents": relational.q_merge_documents,
         "quantity_quantiles": relational.q_quantity_quantiles,
+        "revenue_rollup": relational.q_revenue_rollup,
+        "price_percentiles_disc": relational.q_price_percentiles_disc,
+        "string_functions": scalar_suite.q_string_functions,
+        "monthly_order_stats": scalar_suite.q_monthly_order_stats,
         "customers_without_orders": relational.q_customers_without_orders,
         "top_orders_per_customer": relational.q_top_orders_per_customer,
         # stream-shaped
@@ -83,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.q_media_features,
         "media_features_geometry": multimodal.q_media_features_geometry,
         "page_regions": multimodal.q_page_regions,
+        "page_regions_check": multimodal.q_page_regions_check,
     }
 
 
@@ -101,6 +107,10 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": events.Q_SESSIONIZE_SQL,
         "asof_view_before_click": events.Q_ASOF_SQL,
         "quantity_quantiles": relational.Q_QUANTILES_SQL,
+        "revenue_rollup": relational.Q_ROLLUP_SQL,
+        "price_percentiles_disc": relational.Q_PCT_DISC_SQL,
+        "string_functions": scalar_suite.Q_STRING_SQL,
+        "monthly_order_stats": scalar_suite.Q_MONTHLY_SQL,
         "customers_without_orders": relational.Q_ANTI_SQL,
         "top_orders_per_customer": relational.Q_TOP_PER_CUST_SQL,
         "running_user_value": events.Q_RUNNING_SQL,
@@ -119,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": similarity.Q_KNN_SQL,
         "knn_ivf_recall": similarity.Q_KNN_IVF_RECALL_SQL,
         "media_features_geometry": multimodal.Q_MEDIA_GEOM_SQL,
+        "page_regions_check": multimodal.Q_PAGE_REGIONS_SQL,
         # rows-only (genuinely non-value-oracle-able): the production
         # probabilistic operators themselves — approx_distinct_users
         # (KMV estimate; bound gated by approx_distinct_check), knn_ivf

@@ -266,6 +266,101 @@ class LayoutAnalyzer:
         return pa.table(cols)
 
 
+def q_page_regions_check(sf_dir: str) -> ray.data.Dataset:
+    """Value-oracled slice of ``q_page_regions``: text-line count,
+    noise-component count and ink ratio, all recomputed by the DuckDB
+    oracle from the band codec's BIT GRID alone —
+
+    - a noise region is a connected component of area < 20 px; on a
+      4 px-cell grid that is exactly ONE isolated cell, i.e. a 1-bit
+      whose 8 bit-grid neighbours are 0 (verified cell-exact against
+      the binarize+label pipeline on every sf0.01/sf0.1 media span);
+    - the band body is vertically contiguous (UTF-8 bytes contain no
+      NUL, so no 16-byte cell row is all-white) -> n_text_lines == 1;
+    - ink ratio == ink-pixel count / page area, as in
+      media_features_geometry.
+
+    n_separators stays in the rows-only parent (an isolated-run
+    derivation is possible but the pipeline's rotating-calipers
+    components are pytest-covered instead)."""
+    out = q_page_regions(sf_dir)
+    return out.map_batches(
+        lambda t: t.select(
+            ["doc_id", "offset", "n_text_lines", "n_noise", "ink_ratio", "success"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_PAGE_REGIONS_SQL = (
+    _SPANS_SQL
+    + """
+, media AS (
+  SELECT doc_id, k, chunk FROM spans WHERE is_media
+), enc AS (
+  SELECT doc_id, k,
+         flatten(list_transform(
+             list_transform(range(1, length(chunk)+1), i -> unicode(chunk[i])),
+             cp -> CASE
+               WHEN cp < 128 THEN [cp]
+               WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+               WHEN cp < 65536 THEN
+                 [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+               ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+                     128 + (cp // 64) % 64, 128 + cp % 64]
+             END)) AS pb
+  FROM media
+), crctab AS (
+  SELECT list_transform(range(0, 256), i ->
+      list_reduce(list_prepend(CAST(i AS BIGINT), [0,0,0,0,0,0,0,0]),
+        (c, x) -> CASE WHEN c % 2 = 1 THEN xor(3988292384, c // 2)
+                       ELSE c // 2 END)) AS tab
+), hdr AS (
+  SELECT e.doc_id, e.k, e.pb, len(e.pb) AS L,
+         xor(list_reduce(
+               list_prepend(CAST(4294967295 AS BIGINT),
+                 list_concat([(len(e.pb) // 256) % 256, len(e.pb) % 256], e.pb)),
+               (c, x) -> xor(t.tab[(xor(c, x) % 256) + 1], c // 256)),
+             4294967295) AS crc
+  FROM enc e, crctab t
+), grid AS (
+  SELECT doc_id, k, L,
+         CAST(CEIL((7 + L) / 16.0) AS INTEGER) AS nrows,
+         flatten(list_transform(
+             list_concat([255, (L // 256) % 256, L % 256,
+                          (crc // 16777216) % 256, (crc // 65536) % 256,
+                          (crc // 256) % 256, crc % 256], pb),
+             b -> [b//128%2, b//64%2, b//32%2, b//16%2,
+                   b//8%2, b//4%2, b//2%2, b%2])) AS bits0
+  FROM hdr
+), padded AS (
+  SELECT doc_id, k, nrows, list_sum(bits0) AS ink_bits,
+         list_concat(bits0,
+             list_transform(range(0, nrows * 128 - len(bits0)), x -> 0)) AS g
+  FROM grid
+)
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(k AS INTEGER) AS "offset",
+       CAST(1 AS INTEGER) AS n_text_lines,  -- band body is contiguous
+       CAST(len(list_filter(range(0, nrows * 128), i ->
+           g[i + 1] = 1
+           AND (CASE WHEN i % 128 > 0 THEN g[i] ELSE 0 END) = 0
+           AND (CASE WHEN i % 128 < 127 THEN g[i + 2] ELSE 0 END) = 0
+           AND (CASE WHEN i >= 128 THEN g[i - 127] ELSE 0 END) = 0
+           AND (CASE WHEN i >= 128 AND i % 128 > 0 THEN g[i - 128] ELSE 0 END) = 0
+           AND (CASE WHEN i >= 128 AND i % 128 < 127 THEN g[i - 126] ELSE 0 END) = 0
+           AND (CASE WHEN i < (nrows - 1) * 128 THEN g[i + 129] ELSE 0 END) = 0
+           AND (CASE WHEN i < (nrows - 1) * 128 AND i % 128 > 0 THEN g[i + 128] ELSE 0 END) = 0
+           AND (CASE WHEN i < (nrows - 1) * 128 AND i % 128 < 127 THEN g[i + 130] ELSE 0 END) = 0
+       )) AS INTEGER) AS n_noise,
+       FLOOR(CAST(ink_bits * 16 AS DOUBLE)
+             / ((nrows * 4 + 24) * 536) * 1000000) / 1000000 AS ink_ratio,
+       TRUE AS success
+FROM padded
+"""
+)
+
+
 def q_page_regions(sf_dir: str) -> ray.data.Dataset:
     """Layout analysis over every media span of the derived corpus.
     Rows-only oracle (geometry heuristics are not SQL-expressible)."""

@@ -507,3 +507,127 @@ SELECT o_custkey, o_orderkey, o_totalprice FROM (
   FROM orders
 ) WHERE rn <= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / grouping sets (engine-added; reference has no analytics)
+# ---------------------------------------------------------------------------
+
+def q_revenue_rollup(sf_dir: str) -> ray.data.Dataset:
+    """ROLLUP(l_returnflag, l_linestatus) revenue: detail rows + per-flag
+    subtotals + grand total in one result, with SQL GROUPING markers.
+
+    Shape: ONE per-batch partial aggregate at the finest grain, one
+    shuffle to merge it, then the coarser levels are re-aggregated from
+    the (tiny) detail result — the rollup costs one extra pass over
+    <=|groups| rows, never a second scan of the fact table."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "price_c": _cents(t["l_extendedprice"]),
+            }
+        ).group_by(["l_returnflag", "l_linestatus"]).aggregate([("price_c", "sum")])
+
+    detail = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("price_c_sum", alias_name="c"))
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        levels = [df.assign(grouping=0)]
+        sub = df.groupby("l_returnflag", as_index=False)["c"].sum()
+        sub["l_linestatus"] = None
+        sub["grouping"] = 1
+        levels.append(sub)
+        tot = pd.DataFrame(
+            {"l_returnflag": [None], "l_linestatus": [None],
+             "c": [df["c"].sum()], "grouping": [3]}
+        )
+        levels.append(tot)
+        allr = pd.concat(levels, ignore_index=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(allr["l_returnflag"], type=pa.string()),
+                "l_linestatus": pa.array(allr["l_linestatus"], type=pa.string()),
+                "revenue": pa.array(
+                    (allr["c"].astype("int64") / 100.0), type=pa.float64()
+                ),
+                "grouping": pa.array(allr["grouping"].astype("int64")),
+            }
+        )
+
+    # detail is tiny (<=|flag x status| rows): the rollup runs in one task
+    return detail.repartition(1).map_batches(rollup, batch_format="pyarrow")
+
+
+Q_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Discrete percentiles (exact order statistics per group)
+# ---------------------------------------------------------------------------
+
+def q_price_percentiles_disc(sf_dir: str) -> ray.data.Dataset:
+    """percentile_disc(.25/.5/.75) of o_totalprice per order priority —
+    exact discrete order statistics (the value AT index ceil(p*n)-1 of
+    the sorted group, matching DuckDB quantile_disc)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": t["o_orderpriority"], "price_c": _cents(t["o_totalprice"])}
+        )
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pct(g: pa.Table) -> pa.Table:
+        tbl = g.combine_chunks()
+        prios = tbl["o_orderpriority"].to_numpy(zero_copy_only=False)
+        vals = tbl["price_c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, prios))
+        p_s, v_s = prios[order], vals[order]
+        starts = np.nonzero(np.concatenate([[True], p_s[1:] != p_s[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [p_s.size]])
+        out_p, q25, q50, q75 = [], [], [], []
+        for s, e in zip(starts, ends):
+            seg = v_s[s:e]
+            n = seg.size
+            out_p.append(p_s[s])
+            # quantile_disc: value at ceil(p*n)-1 (1-based rank ceil(p*n))
+            q25.append(seg[max(0, -(-n * 25 // 100) - 1)] / 100.0)
+            q50.append(seg[max(0, -(-n * 50 // 100) - 1)] / 100.0)
+            q75.append(seg[max(0, -(-n * 75 // 100) - 1)] / 100.0)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(out_p, type=pa.string()),
+                "p25": pa.array(q25, type=pa.float64()),
+                "p50": pa.array(q50, type=pa.float64()),
+                "p75": pa.array(q75, type=pa.float64()),
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(pct, batch_format="pyarrow")
+
+
+Q_PCT_DISC_SQL = """
+SELECT o_orderpriority,
+       quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.25) / 100.0 AS p25,
+       quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.50) / 100.0 AS p50,
+       quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.75) / 100.0 AS p75
+FROM orders GROUP BY o_orderpriority
+"""

@@ -1,0 +1,123 @@
+"""Scalar-function suites — per-row string and temporal kernels,
+vectorized Arrow on the Ray side and bit-identical ANSI SQL on the
+DuckDB side (the §2.8 scalar-function surface, widened beyond what the
+reference itself uses).
+
+Parity notes (each is a real cross-engine trap):
+
+- ``strpos`` is 1-based with 0 for absent; Arrow ``find_substring`` is
+  0-based with -1 for absent — ``+1`` maps one onto the other exactly,
+  including the absent case;
+- ``substr(s, i, n)`` is 1-based; Arrow ``utf8_slice_codeunits`` is
+  0-based half-open;
+- the corpus' name columns are ASCII, so upper/lower/reverse agree
+  without locale concerns (DuckDB upper() is not locale-aware either).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..sources.readers import read_table
+from .relational import _cents
+
+
+def q_string_functions(sf_dir: str) -> ray.data.Dataset:
+    """Per-row string-function battery over customer names."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        name = t["c_name"]
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "upper_name": pc.utf8_upper(name),
+                "lower_name": pc.utf8_lower(name),
+                "name_part": pc.utf8_slice_codeunits(name, start=9, stop=15),
+                "no_zeros": pc.replace_substring(name, "0", ""),
+                "name_len": pc.cast(pc.utf8_length(name), pa.int64()),
+                "hash_pos": pc.cast(
+                    pc.add(pc.find_substring(name, "#"), 1), pa.int64()
+                ),
+                "reversed_name": pc.utf8_reverse(name),
+                "tagged": pc.binary_join_element_wise(
+                    name, t["c_mktsegment"], "-"
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_STRING_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       lower(c_name) AS lower_name,
+       substr(c_name, 10, 6) AS name_part,
+       replace(c_name, '0', '') AS no_zeros,
+       length(c_name) AS name_len,
+       strpos(c_name, '#') AS hash_pos,
+       reverse(c_name) AS reversed_name,
+       c_name || '-' || c_mktsegment AS tagged
+FROM customer
+"""
+
+
+def q_monthly_order_stats(sf_dir: str) -> ray.data.Dataset:
+    """Temporal bucketing: per (year, month) order count, revenue and
+    date range — date_part extraction + integer-cents sums, partial
+    aggregation before the (small) shuffle."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tmp = pa.table(
+            {
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "mo": pc.cast(pc.month(t["o_orderdate"]), pa.int64()),
+                "price_c": _cents(t["o_totalprice"]),
+                "d": t["o_orderdate"],
+            }
+        )
+        return tmp.group_by(["yr", "mo"]).aggregate(
+            [("price_c", "sum"), ("price_c", "count"), ("d", "min"), ("d", "max")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        partials.repartition(1)
+        .groupby(["yr", "mo"])
+        .aggregate(
+            Sum("price_c_sum", alias_name="s"),
+            Sum("price_c_count", alias_name="n_orders"),
+            Min("d_min", alias_name="first_order"),
+            Max("d_max", alias_name="last_order"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "yr": t["yr"],
+                "mo": t["mo"],
+                "n_orders": t["n_orders"],
+                "revenue": pc.divide(pc.cast(t["s"], pa.float64()), 100.0),
+                "first_order": t["first_order"],
+                "last_order": t["last_order"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q_MONTHLY_SQL = """
+SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+       CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+       COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders GROUP BY 1, 2
+"""
