@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": relational.q_revenue_rollup,
         "price_percentiles_disc": relational.q_price_percentiles_disc,
         "string_functions": scalar_suite.q_string_functions,
+        "hash_sample": scalar_suite.q_hash_sample,
         "monthly_order_stats": scalar_suite.q_monthly_order_stats,
         "customers_without_orders": relational.q_customers_without_orders,
         "top_orders_per_customer": relational.q_top_orders_per_customer,
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": relational.Q_ROLLUP_SQL,
         "price_percentiles_disc": relational.Q_PCT_DISC_SQL,
         "string_functions": scalar_suite.Q_STRING_SQL,
+        "hash_sample": scalar_suite.Q_HASH_SAMPLE_SQL,
         "monthly_order_stats": scalar_suite.Q_MONTHLY_SQL,
         "customers_without_orders": relational.Q_ANTI_SQL,
         "top_orders_per_customer": relational.Q_TOP_PER_CUST_SQL,

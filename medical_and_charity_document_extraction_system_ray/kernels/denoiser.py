@@ -93,6 +93,7 @@ def bilateral_denoise(
     den = np.ones((H1, W1), dtype=np.float32)
     tmp = np.empty((H1, W1), dtype=np.float32)
     d16 = np.empty((H1, W1), dtype=np.int16)
+    idx = np.empty((H1, W1), dtype=np.intp)
     wgt = np.empty((H1, W1), dtype=np.float32)
     for di in range(d):
         for dj in range(d):
@@ -105,7 +106,11 @@ def bilateral_denoise(
             nf = srcf[r + a : r + a + H1, r + b : r + b + W1]
             np.subtract(n16, c16, out=d16)
             np.abs(d16, out=d16)
-            np.take(lut, d16, out=wgt)
+            # native-width indices + mode='clip' dodge numpy's slow
+            # int16-index + bounds-checked take path (~2x on the gather,
+            # which dominates this loop)
+            np.copyto(idx, d16)
+            np.take(lut, idx, out=wgt, mode="clip")
             np.multiply(wgt, nf, out=tmp)
             num += tmp
             den += wgt

@@ -121,3 +121,33 @@ SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
        MAX(o_orderdate) AS last_order
 FROM orders GROUP BY 1, 2
 """
+
+
+def q_hash_sample(sf_dir: str, pct: int = 5) -> ray.data.Dataset:
+    """Deterministic hash-based Bernoulli sample of documents (~pct%):
+    keep rows where the codepoint-Horner hash of the doc id lands in the
+    first ``pct`` buckets of 100.  Unlike random sampling this is
+    reproducible across engines, so the oracle is exact — the 100-TB
+    sampling primitive (per-shard, no coordination, no materialized
+    randomness)."""
+    from ..functions.text import fingerprint64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        h = fingerprint64(ids)
+        import numpy as np
+
+        return t.filter(pa.array((h % np.uint64(100)) < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_HASH_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE list_reduce(list_prepend(CAST(0 AS HUGEINT),
+          list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+                         i -> unicode((CAST(doc_id AS VARCHAR))[i]))),
+          (a, x) -> (a * 1099511628211 + x) % 18446744073709551616) % 100 < 5
+"""
