@@ -80,27 +80,42 @@ def apply_clahe(
             cdf = np.cumsum(hist)
             luts[i, j] = cdf * (255.0 / max(cdf[-1], 1))
 
-    # bilinear interpolation between the four surrounding tile LUTs
+    # bilinear interpolation between the four surrounding tile LUTs,
+    # evaluated PER INTERPOLATION REGION (the run of pixels sharing the
+    # same four tiles): four fast 1-D LUT takes per region instead of
+    # full-image broadcasted 3-D fancy indexing (~3x)
     yy = (np.arange(ph) + 0.5) / th - 0.5
     xx = (np.arange(pw) + 0.5) / tw - 0.5
     y0 = np.clip(np.floor(yy).astype(int), 0, ny - 1)
     x0 = np.clip(np.floor(xx).astype(int), 0, nx - 1)
-    y1 = np.clip(y0 + 1, 0, ny - 1)
-    x1 = np.clip(x0 + 1, 0, nx - 1)
-    fy = np.clip(yy - y0, 0.0, 1.0)[:, None]
-    fx = np.clip(xx - x0, 0.0, 1.0)[None, :]
+    fy_all = np.clip(yy - y0, 0.0, 1.0)
+    fx_all = np.clip(xx - x0, 0.0, 1.0)
 
-    px = padded.astype(int)
-    g00 = luts[y0[:, None], x0[None, :], px]
-    g01 = luts[y0[:, None], x1[None, :], px]
-    g10 = luts[y1[:, None], x0[None, :], px]
-    g11 = luts[y1[:, None], x1[None, :], px]
-    out = (
-        g00 * (1 - fy) * (1 - fx)
-        + g01 * (1 - fy) * fx
-        + g10 * fy * (1 - fx)
-        + g11 * fy * fx
-    )
+    px = padded.astype(np.intp)
+    out = np.empty((ph, pw), dtype=np.float64)
+    ystarts = np.concatenate([[0], np.nonzero(np.diff(y0))[0] + 1, [ph]])
+    xstarts = np.concatenate([[0], np.nonzero(np.diff(x0))[0] + 1, [pw]])
+    for yi in range(len(ystarts) - 1):
+        ys, ye = ystarts[yi], ystarts[yi + 1]
+        ry0 = y0[ys]
+        ry1 = min(ry0 + 1, ny - 1)
+        fy = fy_all[ys:ye, None]
+        for xi in range(len(xstarts) - 1):
+            xs, xe = xstarts[xi], xstarts[xi + 1]
+            rx0 = x0[xs]
+            rx1 = min(rx0 + 1, nx - 1)
+            fx = fx_all[None, xs:xe]
+            sub = px[ys:ye, xs:xe]
+            g00 = np.take(luts[ry0, rx0], sub, mode="clip")
+            g01 = np.take(luts[ry0, rx1], sub, mode="clip")
+            g10 = np.take(luts[ry1, rx0], sub, mode="clip")
+            g11 = np.take(luts[ry1, rx1], sub, mode="clip")
+            out[ys:ye, xs:xe] = (
+                g00 * (1 - fy) * (1 - fx)
+                + g01 * (1 - fy) * fx
+                + g10 * fy * (1 - fx)
+                + g11 * fy * fx
+            )
     return np.clip(out[:h, :w] + 0.5, 0, 255).astype(np.uint8)
 
 
