@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_geometry": multimodal.q_media_features_geometry,
         "page_regions": multimodal.q_page_regions,
         "page_regions_check": multimodal.q_page_regions_check,
+        "frame_sample_plan": multimodal.q_frame_sample_plan,
     }
 
 
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_recall": similarity.Q_KNN_IVF_RECALL_SQL,
         "media_features_geometry": multimodal.Q_MEDIA_GEOM_SQL,
         "page_regions_check": multimodal.Q_PAGE_REGIONS_SQL,
+        "frame_sample_plan": multimodal.Q_FRAME_SAMPLE_SQL,
         # rows-only (genuinely non-value-oracle-able): the production
         # probabilistic operators themselves — approx_distinct_users
         # (KMV estimate; bound gated by approx_distinct_check), knn_ivf

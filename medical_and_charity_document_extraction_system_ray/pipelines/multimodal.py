@@ -49,6 +49,50 @@ def sample_frames(n_frames: int, fps: float, every_sec: float) -> np.ndarray:
     return np.arange(0, n_frames, step, dtype=np.int64)
 
 
+def q_frame_sample_plan(sf_dir: str, every_sec: float = 2.0) -> ray.data.Dataset:
+    """Deterministic video frame-sampling plan: each document models a
+    video payload (n_frames = n_chars at fps 12..36 derived from
+    doc_id), and ``sample_frames`` emits one row per kept frame — the
+    plan half of the video path (frame DECODE is the multimodal stub;
+    the fan-out, schema and ordering are the real scale surface).
+    SQL-matched via generate_series."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def plan(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_frames = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = (12 + (doc % 5) * 6).astype(np.float64)
+        step = np.maximum(1, (fps * every_sec).astype(np.int64))  # exact ints
+        counts = np.where(n_frames > 0, (n_frames - 1) // step + 1, 0)
+        rep_doc = np.repeat(doc, counts)
+        rep_step = np.repeat(step, counts)
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        j = np.arange(counts.sum(), dtype=np.int64) - np.repeat(starts, counts)
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_doc.astype(np.int64)),
+                "frame_idx": pa.array(j * rep_step),
+                "fps": pa.array(np.repeat(fps, counts)),
+            }
+        )
+
+    return ds.map_batches(plan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_FRAME_SAMPLE_SQL = """
+SELECT d.doc_id,
+       CAST(gs.f AS BIGINT) AS frame_idx,
+       CAST(12 + (d.doc_id % 5) * 6 AS DOUBLE) AS fps
+FROM documents d,
+     LATERAL (SELECT UNNEST(generate_series(0, d.n_chars - 1,
+                  GREATEST(CAST((12 + (d.doc_id % 5) * 6) * 2 AS BIGINT), 1)))
+              AS f) gs
+WHERE d.n_chars > 0
+"""
+
+
 class MediaFeatureExtractor:
     """Actor: decode media_ref -> grayscale page image -> fixed feature
     row (dims, ink ratio, intensity stats, 8x8 thumbnail hash).
