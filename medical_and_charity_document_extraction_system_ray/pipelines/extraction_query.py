@@ -22,9 +22,22 @@ from .extraction import extract_documents
 
 
 def q_extract_documents(sf_dir: str) -> ray.data.Dataset:
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
     flat = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # the derived corpus is text-dominant (only ~1/6 of pages OCR), so a
+    # small pool amortizes actor spawn best at gate/bench scales; cap at
+    # ncpu/4 so larger sessions still widen it
+    conc = max(2, min(8, ncpu // 4))
     docs = flat.map_batches(flat_to_interleaved, batch_format="pyarrow")
-    out = extract_documents(docs, ocr_concurrency=4, ocr_batch_size=128)
+    out = extract_documents(
+        docs, ocr_concurrency=conc, ocr_batch_size=128,
+        repartition_blocks=conc * 8,
+    )
     return out.map_batches(
         lambda t: t.select(
             [
