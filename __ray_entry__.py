@@ -59,12 +59,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": scalar_suite.q_hash_sample,
         "monthly_order_stats": scalar_suite.q_monthly_order_stats,
         "customers_without_orders": relational.q_customers_without_orders,
+        "customer_nation_left": relational.q_customer_nation_left,
         "top_orders_per_customer": relational.q_top_orders_per_customer,
         # stream-shaped
         "hourly_event_stats": events.q_hourly_event_stats,
         "sessionize": events.q_sessionize,
         "asof_view_before_click": events.q_asof_view_before_click,
         "running_user_value": events.q_running_user_value,
+        "user_event_ranks": events.q_user_event_ranks,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
@@ -115,8 +117,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": scalar_suite.Q_HASH_SAMPLE_SQL,
         "monthly_order_stats": scalar_suite.Q_MONTHLY_SQL,
         "customers_without_orders": relational.Q_ANTI_SQL,
+        "customer_nation_left": relational.Q_LEFT_JOIN_SQL,
         "top_orders_per_customer": relational.Q_TOP_PER_CUST_SQL,
         "running_user_value": events.Q_RUNNING_SQL,
+        "user_event_ranks": events.Q_RANKS_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "lang_id": text_analysis.Q_LANG_ID_SQL,

@@ -258,3 +258,48 @@ SELECT user_id, ts,
                ROWS UNBOUNDED PRECEDING) / 100.0 AS running_value
 FROM events
 """
+
+
+def q_user_event_ranks(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """ROW_NUMBER() window analog: each user's top-k events by value
+    (unique tie-break on event_id), rank attached — keyed shuffle +
+    per-group vectorized argsort, only k rows per user leave the group."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    rank_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("value", pa.float64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+
+    def ranks(g: pd.DataFrame) -> pa.Table:
+        outs = []
+        for uid, grp in g.groupby("user_id", sort=True):
+            top = grp.sort_values(
+                ["value", "event_id"], ascending=[False, True]
+            ).head(k)
+            top = top.assign(rnk=np.arange(1, len(top) + 1))
+            outs.append(top)
+        if not outs:
+            return rank_schema.empty_table()
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True)[
+                ["user_id", "event_id", "value", "rnk"]
+            ],
+            schema=rank_schema, preserve_index=False,
+        )
+
+    return ds.groupby("user_id").map_groups(ranks, batch_format="pandas")
+
+
+Q_RANKS_SQL = """
+SELECT user_id, event_id, value, rnk FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events
+) WHERE rnk <= 3
+"""

@@ -631,3 +631,43 @@ SELECT o_orderpriority,
        quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.75) / 100.0 AS p75
 FROM orders GROUP BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Left-outer join (null-preserving dimension attach)
+# ---------------------------------------------------------------------------
+
+def q_customer_nation_left(sf_dir: str) -> ray.data.Dataset:
+    """customer LEFT JOIN nation: every customer survives; unmatched
+    nation names stay NULL (the null-preserving dimension attach —
+    Dataset.join left_outer, hash-partitioned)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).map_batches(
+        lambda t: pa.table(
+            {"n_nationkey": pc.cast(t["n_nationkey"], pa.int64()), "n_name": t["n_name"]}
+        ),
+        batch_format="pyarrow",
+    )
+    cust = cust.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = cust.join(
+        nat, join_type="left_outer", num_partitions=8,
+        on=("c_nationkey",), right_on=("n_nationkey",),
+    )
+    return joined.map_batches(
+        lambda t: t.select(["c_custkey", "c_nationkey", "n_name"]),
+        batch_format="pyarrow",
+    )
+
+
+Q_LEFT_JOIN_SQL = """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, n_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
