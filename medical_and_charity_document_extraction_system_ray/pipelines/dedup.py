@@ -356,14 +356,28 @@ def q_minhash_lsh_pairs(
         lookup_texts = fetched["text"].combine_chunks().take(pa.array(order))
         lookup_ref = ray.put((lookup_ids, lookup_texts))
 
-        pair_ds = ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array(pairs[:, 0], type=pa.int64()),
-                    "doc_b": pa.array(pairs[:, 1], type=pa.int64()),
-                }
-            )
+        pair_tbl = pa.table(
+            {
+                "doc_a": pa.array(pairs[:, 0], type=pa.int64()),
+                "doc_b": pa.array(pairs[:, 1], type=pa.int64()),
+            }
         )
+        if len(pairs) <= 5000:
+            # tiny candidate set: verify inline (the same vectorized
+            # kernel; a third dataset execution would cost more in
+            # scheduling than the ~ms of shingle math it distributes)
+            ia = np.searchsorted(lookup_ids, pairs[:, 0])
+            ib = np.searchsorted(lookup_ids, pairs[:, 1])
+            return ray.data.from_arrow(
+                verify_pairs(
+                    pair_tbl["doc_a"].combine_chunks(),
+                    pair_tbl["doc_b"].combine_chunks(),
+                    lookup_texts.take(pa.array(ia)),
+                    lookup_texts.take(pa.array(ib)),
+                )
+            )
+
+        pair_ds = ray.data.from_arrow(pair_tbl)
 
         def verify_broadcast(t: pa.Table) -> pa.Table:
             if len(t) == 0:
