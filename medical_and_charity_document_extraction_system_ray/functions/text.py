@@ -71,11 +71,16 @@ def utf8_codepoints(text: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.nd
     if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
     bufs = arr.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int64)[: n + 1]
+    # a sliced array keeps its parent buffers and a nonzero offset: index
+    # the offsets buffer from arr.offset and rebase data positions to 0
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    start = int(offs[0])
     total = int(offs[-1])
-    if total == 0 or bufs[2] is None:
+    if total == start or bufs[2] is None:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
-    data = np.frombuffer(bufs[2], dtype=np.uint8)[:total]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[start:total]
+    offs = offs - start
+    total -= start
     byte_lengths = np.diff(offs)
     row_of_byte = np.repeat(np.arange(n, dtype=np.int64), byte_lengths)
     # lead bytes: everything except 0b10xxxxxx continuations

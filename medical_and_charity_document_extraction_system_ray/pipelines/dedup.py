@@ -30,6 +30,7 @@ import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.text import horner_mod64, utf8_codepoints
+from ..functions.vectors import list_column_matrix
 from ..sources.readers import read_table
 
 _P1 = np.uint64(0x9E3779B97F4A7C15)
@@ -156,9 +157,41 @@ def minhash_signatures(
     return uniq_rows, sig
 
 
-def _run_pairs(keys: np.ndarray, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+_PAIR_SLAB = 4_000_000  # max candidate pairs materialized per allocation
+_RUN_SKEW_WARN = 20_000  # ids sharing one LSH key before we log skew
+
+
+def _iter_pair_slabs(m: int, cap: int = _PAIR_SLAB):
+    """Yield local-index slabs ``(i_idx, j_idx)`` covering all C(m,2)
+    unordered pairs with at most ``cap`` pairs per numpy allocation.
+
+    Small runs get the one-shot ``triu_indices``; degenerate runs (a hot
+    LSH bucket of near-identical docs — 10^4 ids is 10^8 pairs) walk row
+    blocks so peak memory stays O(cap) instead of O(m^2)."""
+    if m < 2:
+        return
+    if m * (m - 1) // 2 <= cap:
+        iu = np.triu_indices(m, 1)
+        yield iu[0], iu[1]
+        return
+    rows_per = max(1, cap // m)
+    for r0 in range(0, m - 1, rows_per):
+        r1 = min(r0 + rows_per, m - 1)
+        counts = m - 1 - np.arange(r0, r1)  # pairs per row i: j in (i, m)
+        i_idx = np.repeat(np.arange(r0, r1), counts)
+        row_starts = np.cumsum(counts) - counts
+        j_idx = np.arange(counts.sum()) - np.repeat(row_starts, counts) + i_idx + 1
+        yield i_idx, j_idx
+
+
+def _run_pairs(
+    keys: np.ndarray, ids: np.ndarray, pair_cap: int = _PAIR_SLAB
+) -> tuple[np.ndarray, np.ndarray]:
     """All (id_i, id_j) pairs within runs of equal ``keys`` — vectorized
-    run detection, numpy triu per run.  Returns sorted-id pairs a<b."""
+    run detection, slab-bounded pair emission per run.  Returns
+    sorted-id pairs a<b."""
+    import logging
+
     order = np.lexsort((ids, keys))
     k, v = keys[order], ids[order]
     starts = np.nonzero(np.concatenate([[True], k[1:] != k[:-1]]))[0]
@@ -169,10 +202,15 @@ def _run_pairs(keys: np.ndarray, ids: np.ndarray) -> tuple[np.ndarray, np.ndarra
         m = e - s
         if m < 2:
             continue
-        iu = np.triu_indices(m, 1)
+        if m > _RUN_SKEW_WARN:
+            logging.getLogger(__name__).warning(
+                "skewed LSH key run: %d ids share one key -> %d candidate "
+                "pairs (emitting in %d-pair slabs)", m, m * (m - 1) // 2, pair_cap
+            )
         sub = v[s:e]
-        out_a.append(sub[iu[0]])
-        out_b.append(sub[iu[1]])
+        for ii, jj in _iter_pair_slabs(m, pair_cap):
+            out_a.append(sub[ii])
+            out_b.append(sub[jj])
     if not out_a:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     a = np.concatenate(out_a).astype(np.int64)
@@ -426,7 +464,12 @@ def q_minhash_lsh_pairs(
             t["text_b"].combine_chunks(),
         )
 
-    return withtext.map_batches(verify, batch_format="pyarrow")
+    verified = withtext.map_batches(verify, batch_format="pyarrow").materialize()
+    if verified.count() == 0:
+        # all-empty results report an arbitrary block's schema (an empty
+        # join partition's) — pin the pair schema instead
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+    return verified
 
 
 Q_MINHASH_SQL = r"""
@@ -525,12 +568,16 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
             m = e - s
             if m < 2:
                 continue
-            iu = np.triu_indices(m, 1)
-            ham = _popcount64(np.bitwise_xor(h[s:e][iu[0]], h[s:e][iu[1]]))
-            keep = ham <= max_hamming
-            out_a.append(v[s:e][iu[0]][keep])
-            out_b.append(v[s:e][iu[1]][keep])
-            out_h.append(ham[keep])
+            # slab-bounded pair generation: a hot 16-bit band bucket of
+            # near-identical docs would otherwise allocate O(m^2) at
+            # once; the hamming filter applies PER SLAB so survivors
+            # stay small even for degenerate runs
+            for ii, jj in _iter_pair_slabs(m):
+                ham = _popcount64(np.bitwise_xor(h[s:e][ii], h[s:e][jj]))
+                keep = ham <= max_hamming
+                out_a.append(v[s:e][ii][keep])
+                out_b.append(v[s:e][jj][keep])
+                out_h.append(ham[keep])
         if out_a:
             a = np.concatenate(out_a).astype(np.int64)
             b = np.concatenate(out_b).astype(np.int64)
@@ -727,7 +774,7 @@ WHERE jaccard >= 0.4
 
 def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
-    m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    m = list_column_matrix(t["embedding"])
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     return ids, m
 
@@ -867,6 +914,14 @@ def q_embedding_neardup_lsh(
         )
         return pa.table({"vec_a": pa.array(a), "vec_b": pa.array(b)})
 
+    out_schema = pa.schema(
+        [
+            pa.field("vec_a", pa.int64()),
+            pa.field("vec_b", pa.int64()),
+            pa.field("cosine", pa.float64()),
+        ]
+    )
+
     cand = bands.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
     uniq = cand.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="_nb"))
     # repartition absorbs zero-column empty-partition blocks (see
@@ -875,6 +930,13 @@ def q_embedding_neardup_lsh(
         _with_schema(pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])),
         batch_format="pyarrow",
     )
+    # the candidate set is the SMALL side; count it off a materialized
+    # copy and pin the output schema on the empty path — map_batches
+    # never calls the UDF on empty blocks, so without this short-circuit
+    # an empty result reports the upstream JOIN's schema, not ours
+    uniq = uniq.materialize()
+    if uniq.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
 
     def pack(id_name: str, emb_name: str):
         # Acero hash joins reject list-typed payload columns — carry the
@@ -894,14 +956,6 @@ def q_embedding_neardup_lsh(
     joined = uniq.join(
         vecs_a, join_type="inner", num_partitions=join_partitions, on=("vec_a",)
     ).join(vecs_b, join_type="inner", num_partitions=join_partitions, on=("vec_b",))
-
-    out_schema = pa.schema(
-        [
-            pa.field("vec_a", pa.int64()),
-            pa.field("vec_b", pa.int64()),
-            pa.field("cosine", pa.float64()),
-        ]
-    )
 
     def unpack(col: pa.ChunkedArray, n: int) -> np.ndarray:
         arr = col.combine_chunks()
@@ -928,7 +982,13 @@ def q_embedding_neardup_lsh(
             schema=out_schema,
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    verified = joined.map_batches(verify, batch_format="pyarrow").materialize()
+    if verified.count() == 0:
+        # all candidates failed the cosine verify: every block is empty
+        # and Ray reports the FIRST block's schema (often an empty join
+        # partition's 5-column one) — pin ours instead
+        return ray.data.from_arrow(out_schema.empty_table())
+    return verified
 
 
 Q_EMB_NEARDUP_LSH_SQL = """

@@ -639,32 +639,46 @@ FROM orders GROUP BY o_orderpriority
 
 def q_customer_nation_left(sf_dir: str) -> ray.data.Dataset:
     """customer LEFT JOIN nation: every customer survives; unmatched
-    nation names stay NULL (the null-preserving dimension attach —
-    Dataset.join left_outer, hash-partitioned)."""
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).map_batches(
-        lambda t: pa.table(
-            {"n_nationkey": pc.cast(t["n_nationkey"], pa.int64()), "n_name": t["n_name"]}
-        ),
-        batch_format="pyarrow",
+    nation names stay NULL.
+
+    The 25-row dimension is pulled to the driver once, ``ray.put``, and
+    attached inside ``map_batches`` with a null-preserving searchsorted
+    + take — a broadcast left-attach, no all-to-all of the fact side (a
+    ``Dataset.join`` here would hash-shuffle every customer row just to
+    co-locate it with one of 25 dimension rows)."""
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nat_tbl = pa.concat_tables(
+        nat.iter_batches(batch_size=65536, batch_format="pyarrow")
     )
-    cust = cust.map_batches(
-        lambda t: pa.table(
+    keys = nat_tbl["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys)
+    lookup_ref = ray.put(
+        (keys[order], nat_tbl["n_name"].combine_chunks().take(pa.array(order)))
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        ks, names = ray.get(lookup_ref)
+        ck = pc.cast(t["c_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        if ks.size:
+            pos = np.minimum(np.searchsorted(ks, ck), ks.size - 1)
+            hit = ks[pos] == ck
+        else:
+            pos = np.zeros(ck.size, np.int64)
+            hit = np.zeros(ck.size, bool)
+        # null index -> null value under take: exactly LEFT JOIN semantics
+        idx = pc.if_else(
+            pa.array(hit), pa.array(pos, type=pa.int64()), pa.scalar(None, pa.int64())
+        )
+        return pa.table(
             {
                 "c_custkey": t["c_custkey"],
-                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "c_nationkey": pa.array(ck),
+                "n_name": names.take(idx),
             }
-        ),
-        batch_format="pyarrow",
-    )
-    joined = cust.join(
-        nat, join_type="left_outer", num_partitions=8,
-        on=("c_nationkey",), right_on=("n_nationkey",),
-    )
-    return joined.map_batches(
-        lambda t: t.select(["c_custkey", "c_nationkey", "n_name"]),
-        batch_format="pyarrow",
-    )
+        )
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    return cust.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 
 
 Q_LEFT_JOIN_SQL = """

@@ -26,6 +26,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..functions.vectors import list_column_matrix
 from ..sources.readers import read_table
 
 IVF_CACHE_ROOT = "/tmp/graft_ivf"
@@ -33,8 +34,7 @@ IVF_CACHE_ROOT = "/tmp/graft_ivf"
 
 def _matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
-    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-    return ids, mat
+    return ids, list_column_matrix(t["embedding"])
 
 
 def _cosine(m: np.ndarray, q: np.ndarray) -> np.ndarray:

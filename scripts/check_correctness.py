@@ -29,10 +29,17 @@ TABLES = (
 
 def to_pandas(res) -> pd.DataFrame:
     if hasattr(res, "to_pandas"):
-        try:
-            return res.to_pandas()
-        except TypeError:
-            return res.to_pandas()
+        df = res.to_pandas()
+        if len(df) == 0 and len(df.columns) == 0 and hasattr(res, "schema"):
+            # Dataset.to_pandas drops columns when every block is empty;
+            # the driver reads Dataset.schema() instead — mirror that
+            sch = res.schema()
+            base = getattr(sch, "base_schema", None)
+            if base is not None:
+                df = base.empty_table().to_pandas()
+            elif sch is not None and getattr(sch, "names", None):
+                df = pd.DataFrame({n: pd.Series(dtype="object") for n in sch.names})
+        return df
     return res
 
 
@@ -55,7 +62,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     problems = []
     if len(ray_df) == 0 and len(sql_df) == 0:
-        return []
+        # the driver checks schema even on empty results (r2's one red
+        # cell was exactly this) — replicate it
+        if sorted(ray_df.columns) != sorted(sql_df.columns):
+            problems.append(
+                f"empty-result cols {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
+            )
+        return problems
     if len(ray_df) != len(sql_df):
         problems.append(f"rows {len(ray_df)} != {len(sql_df)}")
     if sorted(ray_df.columns) != sorted(sql_df.columns):

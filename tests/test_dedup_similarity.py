@@ -266,3 +266,68 @@ def test_fingerprint64_codepoint_horner():
     texts = ["", "a", "hello world", "中文 mixed ascii", "𝕏 astral", "x" * 3000]
     got = fingerprint64(pa.array(texts)).tolist()
     assert got == [py_fp(t) for t in texts]
+
+
+def test_pair_slab_generator_bounded_and_complete():
+    """Slab walk covers every C(m,2) pair exactly once with <= cap pairs
+    per allocation — the skew guard for degenerate LSH buckets (a 20k-id
+    identical band bucket never allocates O(m^2) at once)."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        _iter_pair_slabs,
+    )
+
+    # small m: identical to one-shot triu
+    for m in (2, 3, 7, 50):
+        ii = np.concatenate([a for a, _ in _iter_pair_slabs(m, cap=10**9)])
+        jj = np.concatenate([b for _, b in _iter_pair_slabs(m, cap=10**9)])
+        tri = np.triu_indices(m, 1)
+        assert set(zip(ii, jj)) == set(zip(tri[0], tri[1]))
+
+    # chunked path: same pair set as triu, every slab bounded
+    m, cap = 200, 1000
+    seen = set()
+    for a, b in _iter_pair_slabs(m, cap):
+        assert a.size <= cap + m  # row-block granularity slack
+        assert np.all(a < b) and np.all(b < m)
+        seen.update(zip(a.tolist(), b.tolist()))
+    assert len(seen) == m * (m - 1) // 2
+
+    # 20k-id degenerate run: stream-count without materializing m^2
+    m, cap = 20_000, 4_000_000
+    total = 0
+    max_slab = 0
+    for a, b in _iter_pair_slabs(m, cap):
+        total += a.size
+        max_slab = max(max_slab, a.size)
+    assert total == m * (m - 1) // 2
+    assert max_slab <= cap + m
+
+
+def test_run_pairs_chunked_matches_unchunked():
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        _run_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 5, size=500)
+    ids = rng.permutation(500).astype(np.int64)
+    a1, b1 = _run_pairs(keys, ids)
+    a2, b2 = _run_pairs(keys, ids, pair_cap=100)  # force the slab walk
+    assert set(zip(a1, b1)) == set(zip(a2, b2))
+
+
+def test_utf8_codepoints_sliced_array():
+    """A zero-copy slice keeps the parent buffers + a nonzero offset;
+    the decoder must index the offsets buffer from arr.offset (ADVICE
+    r2: silent wrong codepoints on sliced input before the fix)."""
+    from medical_and_charity_document_extraction_system_ray.functions.text import (
+        utf8_codepoints,
+    )
+
+    full = pa.array(["alpha", "béta", "gamma", "δelta"], pa.large_string())
+    sl = full.slice(1, 2)
+    assert sl.offset != 0 or pa.array(["béta", "gamma"]).equals(sl)
+    cps, rows = utf8_codepoints(sl)
+    expect = [ord(c) for c in "béta"] + [ord(c) for c in "gamma"]
+    assert cps.tolist() == expect
+    assert rows.tolist() == [0] * 4 + [1] * 5
