@@ -245,6 +245,48 @@ def _intersect_size(a: np.ndarray, b: np.ndarray) -> int:
     return int((b[idx] == a).sum())
 
 
+def _expand_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenated ``arange(starts[i], starts[i]+counts[i])`` without a
+    python loop."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    prefix = np.cumsum(counts) - counts
+    return np.repeat(starts - prefix, counts) + np.arange(total)
+
+
+def _pair_jaccard(texts_u, pa_idx: np.ndarray, pb_idx: np.ndarray) -> np.ndarray:
+    """Exact shingle-Jaccard for candidate pairs, fully vectorized.
+
+    ``texts_u`` holds each DISTINCT doc's text once (a doc in k pairs is
+    shingled once, not k times); ``pa_idx``/``pb_idx`` index pairs into
+    it.  Intersections are counted with ONE lexsort over the gathered
+    (pair, gram) streams — within a side the per-pair gram sets are
+    sorted-unique, so any adjacent duplicate is a cross-side hit."""
+    n = pa_idx.size
+    sh, rows = _shingle_hashes(texts_u)
+    vals, offs = _sorted_unique_rowsets(sh, rows, len(texts_u))
+    sizes = np.diff(offs)
+    ca, cb = sizes[pa_idx], sizes[pb_idx]
+    pair_of = np.concatenate(
+        [np.repeat(np.arange(n), ca), np.repeat(np.arange(n), cb)]
+    )
+    gathered = np.concatenate(
+        [
+            vals[_expand_ranges(offs[pa_idx], ca)],
+            vals[_expand_ranges(offs[pb_idx], cb)],
+        ]
+    )
+    order = np.lexsort((gathered, pair_of))
+    p, v = pair_of[order], gathered[order]
+    dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n)
+    union = ca + cb - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jac = np.where(union > 0, inter / union, 1.0)
+    return np.floor(jac * 1e6) / 1e6
+
+
 def q_minhash_lsh_pairs(
     sf_dir: str,
     num_hashes: int = 64,
@@ -317,22 +359,22 @@ def q_minhash_lsh_pairs(
     cand = band_rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
 
     def verify_pairs(doc_a, doc_b, texts_a, texts_b) -> pa.Table:
-        """Exact shingle-Jaccard over aligned pair arrays — ONE
-        vectorized shingle pass over text_a ++ text_b."""
+        """Exact shingle-Jaccard over aligned pair arrays: texts are
+        deduped to one shingle pass per DISTINCT doc, then one
+        vectorized merge counts every intersection (_pair_jaccard — no
+        per-pair python loop)."""
         n = len(doc_a)
         if n == 0:
             return _PAIR_SCHEMA.empty_table()
+        a_ids = doc_a.to_numpy(zero_copy_only=False)
+        b_ids = doc_b.to_numpy(zero_copy_only=False)
+        all_ids = np.concatenate([a_ids, b_ids])
+        uids, first = np.unique(all_ids, return_index=True)
         combined = pa.chunked_array([texts_a, texts_b]).combine_chunks()
-        sh, rows = _shingle_hashes(combined)
-        vals, offs = _sorted_unique_rowsets(sh, rows, 2 * n)
-        jac = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            a = vals[offs[i] : offs[i + 1]]
-            b = vals[offs[n + i] : offs[n + i + 1]]
-            inter = _intersect_size(a, b)
-            union = a.size + b.size - inter
-            jac[i] = inter / union if union else 1.0
-        jac = np.floor(jac * 1e6) / 1e6
+        texts_u = combined.take(pa.array(first))
+        jac = _pair_jaccard(
+            texts_u, np.searchsorted(uids, a_ids), np.searchsorted(uids, b_ids)
+        )
         keep = jac >= jaccard_threshold
         return pa.table(
             {
@@ -400,18 +442,24 @@ def q_minhash_lsh_pairs(
                 "doc_b": pa.array(pairs[:, 1], type=pa.int64()),
             }
         )
-        if len(pairs) <= 5000:
-            # tiny candidate set: verify inline (the same vectorized
-            # kernel; a third dataset execution would cost more in
-            # scheduling than the ~ms of shingle math it distributes)
+        if len(pairs) <= 20_000:
+            # small candidate set: verify inline on the driver — fully
+            # vectorized (_pair_jaccard shingles each distinct doc once
+            # and counts all intersections in one merge), so a third
+            # dataset execution would cost more in scheduling fixed
+            # costs than the shingle math it distributes
             ia = np.searchsorted(lookup_ids, pairs[:, 0])
             ib = np.searchsorted(lookup_ids, pairs[:, 1])
+            jac = _pair_jaccard(lookup_texts, ia, ib)
+            keep = jac >= jaccard_threshold
             return ray.data.from_arrow(
-                verify_pairs(
-                    pair_tbl["doc_a"].combine_chunks(),
-                    pair_tbl["doc_b"].combine_chunks(),
-                    lookup_texts.take(pa.array(ia)),
-                    lookup_texts.take(pa.array(ib)),
+                pa.table(
+                    {
+                        "doc_a": pa.array(pairs[:, 0][keep], type=pa.int64()),
+                        "doc_b": pa.array(pairs[:, 1][keep], type=pa.int64()),
+                        "jaccard": pa.array(jac[keep]),
+                    },
+                    schema=_PAIR_SCHEMA,
                 )
             )
 

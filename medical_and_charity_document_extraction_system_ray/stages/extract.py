@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..engines import create_ocr_engine
 from ..errors import stable_error_code
@@ -68,15 +69,24 @@ class SpanExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
-        kind = batch.column("kind").to_pylist()
-        text_in = batch.column("text").to_pylist()
-        media_ref = batch.column("media_ref").to_pylist()
+        batch = batch.combine_chunks()
+        kind_col = batch.column("kind")
+        text_col = batch.column("text").combine_chunks()
         scanned = batch.column("is_scanned").to_numpy(zero_copy_only=False)
+        is_html = pc.equal(kind_col, KIND_HTML).to_numpy(zero_copy_only=False)
+        # rows needing python work: every scanned row (rasterize/OCR) and
+        # every HTML row (boilerplate strip).  Direct non-HTML rows — the
+        # overwhelming majority of a text corpus — never leave Arrow:
+        # text verbatim, codepoint count, confidence pinned.
+        slow = scanned | is_html
+        slow_idx = np.nonzero(slow)[0]
 
-        out_text: list[str] = [""] * n
-        conf = np.zeros(n, dtype=np.float64)
+        conf = np.where(scanned, 0.0, DIRECT_CONFIDENCE)
+        char_count = (
+            pc.utf8_length(text_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        char_count[slow_idx] = 0  # slow rows recomputed below
         word_count = np.zeros(n, dtype=np.int64)
-        char_count = np.zeros(n, dtype=np.int64)
         engine_name: list[str | None] = [None] * n
         language: list[str | None] = [None] * n
         error: list[str] = [""] * n
@@ -84,34 +94,36 @@ class SpanExtractor:
         success = np.ones(n, dtype=bool)
         words: list[list] = [[] for _ in range(n)] if self.keep_words else []
 
-        # --- direct-text branch -------------------------------------------
-        direct_idx = np.nonzero(~scanned)[0]
-        for i in direct_idx:
-            # html spans get main-content extraction (boilerplate strip)
-            # on both branches — the north-rule DOM-density path
-            t = strip_boilerplate(text_in[i]) if kind[i] == KIND_HTML else text_in[i]
-            out_text[i] = t
-            char_count[i] = len(t)
-        conf[direct_idx] = DIRECT_CONFIDENCE
-
-        # --- OCR branch: per-image ----------------------------------------
-        for i in np.nonzero(scanned)[0]:
+        out_slow: list[str] = [""] * slow_idx.size
+        if slow_idx.size:
+            take = pa.array(slow_idx)
+            kind = kind_col.take(take).to_pylist()
+            text_in = text_col.take(take).to_pylist()
+            media_ref = batch.column("media_ref").take(take).to_pylist()
+        for j, i in enumerate(slow_idx):
+            if not scanned[i]:
+                # direct HTML: main-content extraction (boilerplate
+                # strip) — the north-rule DOM-density path
+                t = strip_boilerplate(text_in[j])
+                out_slow[j] = t
+                char_count[i] = len(t)
+                continue
             try:
-                if kind[i] == KIND_HTML:
-                    t = strip_boilerplate(text_in[i])
-                    out_text[i] = t
+                if kind[j] == KIND_HTML:
+                    t = strip_boilerplate(text_in[j])
+                    out_slow[j] = t
                     conf[i] = DIRECT_CONFIDENCE
                     word_count[i] = len(t.split())
                     char_count[i] = len(t)
                     continue
-                if kind[i] == KIND_TEXT:
-                    img = encode_text_image(text_in[i])  # rasterize the page
+                if kind[j] == KIND_TEXT:
+                    img = encode_text_image(text_in[j])  # rasterize the page
                 else:
-                    img = self.resolver.resolve(media_ref[i])
+                    img = self.resolver.resolve(media_ref[j])
                 if self.preprocess:
                     img, _meta = preprocess_image_array(img, self.config)
                 result = self.engine.process_image(img)
-                out_text[i] = result["text"]
+                out_slow[j] = result["text"]
                 conf[i] = result["confidence"]
                 word_count[i] = result["word_count"]
                 char_count[i] = result["character_count"]
@@ -120,7 +132,7 @@ class SpanExtractor:
                 if self.keep_words:
                     words[i] = result.get("words", [])
             except Exception as e:  # error-row semantics: errors become data
-                out_text[i] = ""
+                out_slow[j] = ""
                 conf[i] = 0.0
                 word_count[i] = 0
                 char_count[i] = 0
@@ -130,12 +142,23 @@ class SpanExtractor:
                 error_code[i] = stable_error_code(e)
                 success[i] = False
 
+        if slow_idx.size:
+            # scatter the slow-row texts back without touching fast rows:
+            # concat (input ++ replacements) and take with a remapped index
+            repl = pa.array(out_slow, type=text_col.type)
+            pool = pa.chunked_array([text_col, repl]).combine_chunks()
+            take_idx = np.arange(n, dtype=np.int64)
+            take_idx[slow_idx] = n + np.arange(slow_idx.size)
+            out_text = pool.take(pa.array(take_idx))
+        else:
+            out_text = text_col
+
         out = pa.Table.from_arrays(
             [
                 batch.column("doc_id"),
                 batch.column("offset"),
                 batch.column("kind"),
-                pa.array(out_text, type=pa.string()),
+                pc.cast(out_text, pa.string()),
                 batch.column("media_ref"),
                 batch.column("is_scanned"),
                 batch.column("page_count"),

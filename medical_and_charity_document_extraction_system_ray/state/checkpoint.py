@@ -8,13 +8,16 @@ engine replaces it with real batch-pipeline checkpointing:
   document, so documents never straddle partitions, no re-read
   amplification on resume);
 - ALL dirty partitions run in ONE streaming Ray execution (the OCR
-  actor pool warms up once, not once per partition): the dirty groups
-  are unioned, run through the pipeline, re-keyed to their partition
-  via a doc_id -> partition_id hash join against a column-pruned side
-  read, and committed by a ``groupby(partition_id).map_groups`` write
-  stage — each group task writes ``part-{pid:05d}.tmp``, renames it
-  atomically, then writes the manifest entry
-  ``{partition_id, fingerprint, rows, wall_ms, files}`` (tmp+rename);
+  actor pool warms up once, not once per partition): each dirty group
+  is tagged with a ``partition_id`` column AT READ TIME, the groups are
+  unioned, run through the pipeline (which passes the tag column
+  through every stage), and committed by a
+  ``groupby(partition_id).map_groups`` write stage — each group task
+  writes ``part-{pid:05d}.tmp``, renames it atomically, then writes the
+  manifest entry ``{partition_id, fingerprint, rows, wall_ms, files}``
+  (tmp+rename; ``wall_ms`` is the commit task's own finalize+write
+  time — upstream pipeline work is shared across partitions in the
+  streaming execution and not attributable to one);
 - a kill mid-run loses only uncommitted partitions; resume = skip
   partitions whose manifest entry parses AND whose input fingerprint
   still matches; everything else recomputes.  Shrinking
@@ -182,7 +185,6 @@ def run_with_checkpoints(
             "manifest": load_manifest(out_dir),
         }
 
-    t0 = time.time()
     # ONE dataset over all dirty groups, each tagged at read time
     parts = []
     for pid in dirty:
@@ -200,6 +202,7 @@ def run_with_checkpoints(
     def write_commit(g: pa.Table) -> pa.Table:
         import shutil
 
+        ts = time.time()
         pid = int(g["partition_id"][0].as_py())
         data = g.drop_columns(["partition_id"])
         if finalize_fn is not None:
@@ -220,7 +223,7 @@ def run_with_checkpoints(
                 "fingerprint": fps[pid],
                 "files": groups[pid],
                 "rows": len(data),
-                "wall_ms": int((time.time() - t0) * 1000),
+                "wall_ms": int((time.time() - ts) * 1000),
             },
         )
         return pa.table(
@@ -245,10 +248,17 @@ def run_with_checkpoints(
 
     # partitions whose group produced no rows never reach the commit
     # stage: commit them as empty so resume doesn't recompute forever
+    import shutil
+
     for pid in dirty:
         if pid not in executed:
             part_dir = os.path.join(out_dir, f"part-{pid:05d}")
-            os.makedirs(part_dir, exist_ok=True)
+            # a previously committed non-empty output must not survive a
+            # now-empty input: clear before recording rows=0 (else
+            # consumers globbing part-*/ read stale rows)
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+            os.makedirs(part_dir)
             _write_manifest_entry(
                 out_dir,
                 {
@@ -256,7 +266,7 @@ def run_with_checkpoints(
                     "fingerprint": fps[pid],
                     "files": groups[pid],
                     "rows": 0,
-                    "wall_ms": int((time.time() - t0) * 1000),
+                    "wall_ms": 0,  # no commit task ran for an empty group
                 },
             )
             executed.append(pid)
