@@ -3,8 +3,9 @@
 Closes the real-image-decode gap left by the container shipping no
 imaging library (the reference decodes with ``cv2.imread`` + a PIL
 fallback, ``backend/app/utils/file_utils.py:129-173``): PNG and BMP are
-simple enough to implement exactly; JPEG/TIFF stay behind the
-``NotImplementedError`` stub (a DCT/LZW decoder is out of scope).
+implemented exactly here; baseline JPEG lives in ``jpegcodec.py``
+(sniffed via ``decode_image_bytes``); TIFF stays behind the
+``NotImplementedError`` stub (an LZW/tag-soup decoder is out of scope).
 
 Supported:
 
@@ -237,13 +238,17 @@ def bmp_encode(img: np.ndarray) -> bytes:
 
 
 def decode_image_bytes(data: bytes, ref: str = "") -> np.ndarray:
-    """Sniff-and-decode: PNG or BMP by magic bytes."""
+    """Sniff-and-decode: PNG, BMP or baseline JPEG by magic bytes."""
     if data[:8] == _PNG_SIG:
         return png_decode(data)
     if data[:2] == b"BM":
         return bmp_decode(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpegcodec import jpeg_decode
+
+        return jpeg_decode(data)
     raise NotImplementedError(
-        f"no decoder for media {ref!r}: only PNG and BMP have pure-python "
-        "decoders here; jpg/tiff need an imaging library not present in "
-        "this environment (stubbed per multimodal policy)"
+        f"no decoder for media {ref!r}: PNG, BMP and baseline JPEG have "
+        "pure-python decoders here; tiff needs an imaging library not "
+        "present in this environment (stubbed per multimodal policy)"
     )

@@ -89,7 +89,7 @@ def test_decode_sniffs_format(gray):
     np.testing.assert_array_equal(decode_image_bytes(png_encode(gray)), gray)
     np.testing.assert_array_equal(decode_image_bytes(bmp_encode(gray)), gray)
     with pytest.raises(NotImplementedError):
-        decode_image_bytes(b"\xff\xd8\xff\xe0 jpeg-ish", ref="x.jpg")
+        decode_image_bytes(b"II*\x00 tiff-ish", ref="x.tiff")
 
 
 def test_resolver_decodes_png_and_bmp_files(tmp_path, gray):
