@@ -72,6 +72,32 @@ class OcrNoTextFoundError(OcrError):
     code = "OCR_NO_TEXT_FOUND"
 
 
+# -- PDF family (reference PDFException tree, exceptions.py analog;
+#    raised by the import-gated fitz adapter, sources/pdf_adapter.py) --------
+
+class PdfError(EngineError):
+    code = "PDF_ERROR"
+
+
+class PdfSupportUnavailableError(PdfError, NotImplementedError):
+    """PyMuPDF (fitz) is not installed — the container-gated analog of
+    the OCR adapters' EngineUnavailableError."""
+
+    code = "PDF_SUPPORT_UNAVAILABLE"
+
+
+class PdfPasswordProtectedError(PdfError):
+    code = "PDF_PASSWORD_PROTECTED"
+
+
+class PdfEmptyError(PdfError):
+    code = "PDF_EMPTY"
+
+
+class PdfConversionError(PdfError):
+    code = "PDF_CONVERSION_FAILED"
+
+
 # -- validation family (reference ValidationException) ------------------------
 
 class InputValidationError(EngineError):
