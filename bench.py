@@ -135,26 +135,44 @@ def run_bench() -> dict:
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "knn_bruteforce": similarity.q_knn_bruteforce,
     }
-    qtimes: dict[str, float] = {}
-    for name, fn in subset.items():
-        t0 = time.time()
-        res = fn(SF_DIR)
-        if hasattr(res, "iter_batches"):
-            sum(len(b) for b in res.iter_batches(batch_size=8192, batch_format="pyarrow"))
-        qtimes[name] = round(time.time() - t0, 3)
+    # paired A/B: two interleaved passes over the whole subset in the
+    # same session.  The shared host drifts ±25-50% within minutes, so a
+    # single number per query conflates code changes with host load;
+    # the per-query min of the two passes is the least-contended
+    # estimate and both passes are reported for drift inspection.
+    passes: dict[str, list[float]] = {name: [] for name in subset}
+    for _ in range(2):
+        for name, fn in subset.items():
+            t0 = time.time()
+            res = fn(SF_DIR)
+            if hasattr(res, "iter_batches"):
+                sum(len(b) for b in res.iter_batches(batch_size=8192, batch_format="pyarrow"))
+            passes[name].append(round(time.time() - t0, 3))
+    qtimes = {name: min(ts) for name, ts in passes.items()}
 
     ray.shutdown()
-    return {
+    result = {
         "metric": "flagship extraction wall-clock over "
         f"{n_docs}-doc interleaved corpus + operator subset at {SF_DIR}",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": qtimes,
+        "queries_passes": passes,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 2),
     }
+    # surface the latest --scaling campaign (written by run_scaling) so
+    # the per-round bench JSON carries the normalized scaling numbers
+    scaling_path = os.path.join(REPO, "SCALING.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                result["scaling"] = json.load(f)
+        except ValueError:
+            pass
+    return result
 
 
 def _reference_worker(args):
@@ -303,7 +321,7 @@ def run_scaling() -> dict:
     eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
     hw = _hardware_ceiling(lo, hi)
     wl = _workload_ceiling(max(2, (lo * 7) // 8), max(2, (hi * 7) // 8))
-    return {
+    result = {
         "metric": "scaling efficiency of flagship extraction, "
         f"num_cpus {lo} vs {hi} (fresh ray sessions, same input)",
         "docs": r_lo["docs"],
@@ -311,11 +329,22 @@ def run_scaling() -> dict:
         f"sec_{hi}": r_hi["value"],
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        # raw_eff = measured N-vs-4N efficiency; cpu_ceiling = what pure
+        # CPU work achieves on this shared host between the same worker
+        # counts; workload_ceiling = what the page kernel itself achieves
+        # via plain multiprocessing (no Ray) — the pipeline can't beat it
+        "raw_eff": round(eff, 3),
+        "cpu_ceiling": round(hw, 3),
+        "workload_ceiling": round(wl, 3),
         "scaling_efficiency": round(eff, 3),
         "hardware_ceiling_efficiency": round(hw, 3),
         "workload_ceiling_efficiency": round(wl, 3),
         "pipeline_vs_workload_ceiling": round(eff / wl, 3) if wl else None,
     }
+    # persist for run_bench to embed in the per-round bench JSON
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    return result
 
 
 if __name__ == "__main__":

@@ -176,11 +176,25 @@ def q3_priority_counts(sf_dir: str) -> ray.data.Dataset:
     map_batches — a broadcast semi-join, no shuffle of the fact table.
     """
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    keys = set()
-    for b in cust.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        m = pc.equal(b["c_mktsegment"], "BUILDING")
-        keys.update(b.filter(m)["c_custkey"].to_pylist())
-    keys_ref = ray.put(np.fromiter(keys, dtype=np.int64))
+
+    def batch_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["c_mktsegment"], "BUILDING")
+        return pa.table(
+            {"c_custkey": pc.cast(pc.unique(t.filter(m)["c_custkey"]), pa.int64())}
+        )
+
+    # per-batch distinct in the tasks, numpy union on the driver — no
+    # python set of per-row values crosses the boundary
+    parts = [
+        b["c_custkey"].to_numpy(zero_copy_only=False)
+        for b in cust.map_batches(
+            batch_keys, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    keys_ref = ray.put(
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         wanted = ray.get(keys_ref)
@@ -439,11 +453,25 @@ def q_customers_without_orders(sf_dir: str) -> ray.data.Dataset:
     broadcast the key set, filter inside map_batches — no shuffle):
     customers who never produced a 'purchase' event."""
     ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
-    keys: set[int] = set()
-    for b in ev.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        m = pc.equal(b["event_type"], "purchase")
-        keys.update(b.filter(m)["user_id"].to_pylist())
-    keys_ref = ray.put(np.fromiter(keys, dtype=np.int64))
+
+    def batch_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase")
+        return pa.table(
+            {"user_id": pc.cast(pc.unique(t.filter(m)["user_id"]), pa.int64())}
+        )
+
+    # per-batch distinct in the tasks, numpy union on the driver — no
+    # python set of per-row values crosses the boundary
+    parts = [
+        b["user_id"].to_numpy(zero_copy_only=False)
+        for b in ev.map_batches(
+            batch_keys, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    keys_ref = ray.put(
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
 
     def anti(t: pa.Table) -> pa.Table:
         have = ray.get(keys_ref)
