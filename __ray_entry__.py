@@ -61,21 +61,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.q_customers_without_orders,
         "customer_nation_left": relational.q_customer_nation_left,
         "top_orders_per_customer": relational.q_top_orders_per_customer,
+        "priority_pivot": relational.q_priority_pivot,
+        "top_customer_per_nation": relational.q_top_customer_per_nation,
+        "orders_above_cust_avg": relational.q_orders_above_cust_avg,
+        "bloom_brand_revenue": relational.q_bloom_brand_revenue,
         # stream-shaped
         "hourly_event_stats": events.q_hourly_event_stats,
         "sessionize": events.q_sessionize,
         "asof_view_before_click": events.q_asof_view_before_click,
         "running_user_value": events.q_running_user_value,
         "user_event_ranks": events.q_user_event_ranks,
+        "hopping_window_stats": events.q_hopping_window_stats,
+        "rolling_user_value": events.q_rolling_user_value,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
         "lang_id": text_analysis.q_lang_id,
         "fingerprints": text_analysis.q_fingerprints,
+        "top_tokens_per_lang": text_analysis.q_top_tokens_per_lang,
         # sketches
         "distinct_users_exact": sketches.q_distinct_users_exact,
         "approx_distinct_users": sketches.q_approx_distinct_users,
         "approx_distinct_check": sketches.q_approx_distinct_check,
+        "hist_quantiles": sketches.q_hist_quantiles,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
@@ -87,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "knn_ivf": similarity.q_knn_ivf,
         "knn_ivf_recall": similarity.q_knn_ivf_recall,
+        "knn_multi": similarity.q_knn_multi,
+        "label_centroids": similarity.q_label_centroids,
         # multimodal plumbing
         "media_features": multimodal.q_media_features,
         "media_features_geometry": multimodal.q_media_features_geometry,
@@ -119,14 +129,22 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": relational.Q_ANTI_SQL,
         "customer_nation_left": relational.Q_LEFT_JOIN_SQL,
         "top_orders_per_customer": relational.Q_TOP_PER_CUST_SQL,
+        "priority_pivot": relational.Q_PIVOT_SQL,
+        "top_customer_per_nation": relational.Q_ARGMAX_SQL,
+        "orders_above_cust_avg": relational.Q_ABOVE_AVG_SQL,
+        "bloom_brand_revenue": relational.Q_BLOOM_SQL,
         "running_user_value": events.Q_RUNNING_SQL,
         "user_event_ranks": events.Q_RANKS_SQL,
+        "hopping_window_stats": events.Q_HOPPING_SQL,
+        "rolling_user_value": events.Q_ROLLING_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "lang_id": text_analysis.Q_LANG_ID_SQL,
         "fingerprints": text_analysis.Q_FINGERPRINTS_SQL,
+        "top_tokens_per_lang": text_analysis.Q_TOP_TOKENS_SQL,
         "distinct_users_exact": sketches.Q_DISTINCT_USERS_SQL,
         "approx_distinct_check": sketches.Q_APPROX_DISTINCT_CHECK_SQL,
+        "hist_quantiles": sketches.Q_HIST_QUANTILES_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
         "minhash_lsh_pairs": dedup.Q_MINHASH_SQL,
         "simhash_pairs": dedup.Q_SIMHASH_SQL,
@@ -135,6 +153,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": dedup.Q_EMB_NEARDUP_LSH_SQL,
         "knn_bruteforce": similarity.Q_KNN_SQL,
         "knn_ivf_recall": similarity.Q_KNN_IVF_RECALL_SQL,
+        "knn_multi": similarity.Q_KNN_MULTI_SQL,
+        "label_centroids": similarity.Q_CENTROIDS_SQL,
         "media_features_geometry": multimodal.Q_MEDIA_GEOM_SQL,
         "page_regions_check": multimodal.Q_PAGE_REGIONS_SQL,
         "frame_sample_plan": multimodal.Q_FRAME_SAMPLE_SQL,

@@ -303,3 +303,127 @@ SELECT user_id, event_id, value, rnk FROM (
   FROM events
 ) WHERE rnk <= 3
 """
+
+
+def q_hopping_window_stats(
+    sf_dir: str, window_minutes: int = 60, hop_minutes: int = 15
+) -> ray.data.Dataset:
+    """Hopping (sliding) windows: 1-hour windows starting every 15
+    minutes, per event_type — each event lands in window/hop = 4
+    overlapping windows.
+
+    The 4 epoch-aligned window starts are computed vectorized per batch
+    (one repeat + tile, no per-row loop), partials pre-aggregate per
+    batch, and the shuffle only moves (window_start, type) partial rows
+    — the fan-out-by-4 never touches the shuffle because it collapses
+    inside the batch first.  Empty windows are not emitted (matches the
+    oracle's cross-join form)."""
+    hop_us = hop_minutes * 60 * 1_000_000
+    k = window_minutes // hop_minutes
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        grid = ts_us // hop_us
+        ws = (np.repeat(grid, k) - np.tile(np.arange(k, dtype=np.int64), n)) * hop_us
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        tmp = pa.table(
+            {
+                "window_start": pa.array(ws).view(pa.timestamp("us")),
+                "event_type": t["event_type"].combine_chunks().take(rep),
+                "value_c": _cents(t["value"]).take(rep),
+            }
+        )
+        return tmp.group_by(["window_start", "event_type"]).aggregate(
+            [("value_c", "sum"), ("value_c", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["window_start", "event_type"]).aggregate(
+        Sum("value_c_sum", alias_name="s"),
+        Sum("value_c_count", alias_name="n_events"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": t["window_start"],
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+                "sum_value": pc.divide(pc.cast(t["s"], pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q_HOPPING_SQL = """
+SELECT make_timestamp(((CAST(FLOOR(epoch(ts) / 900) AS BIGINT) - k.k) * 900)
+                      * 1000000) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS k) k
+GROUP BY 1, 2
+"""
+
+
+def q_rolling_user_value(sf_dir: str, window_minutes: int = 60) -> ray.data.Dataset:
+    """Per-event rolling 1-hour sum/count of ``value`` within the user
+    (window-frame ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    ROW`` analog — peers at the same ts are all included, per SQL RANGE
+    semantics).
+
+    Keyed shuffle on user_id; inside the group each user's events are
+    sorted once and the frame sums come from a prefix-sum +
+    two-searchsorted sweep — O(n log n) per user, no per-row loop."""
+    win_us = window_minutes * 60 * 1_000_000
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("rolling_value", pa.float64()),
+            ("n_window", pa.int64()),
+        ]
+    )
+
+    def rolling(g: pd.DataFrame) -> pa.Table:
+        eids, uids, sums, counts = [], [], [], []
+        for uid, grp in g.groupby("user_id", sort=True):
+            order = np.lexsort((grp["event_id"].to_numpy(), grp["ts"].to_numpy()))
+            ts = grp["ts"].to_numpy()[order].astype("datetime64[us]").astype(np.int64)
+            eid = grp["event_id"].to_numpy()[order]
+            cents = np.floor(grp["value"].to_numpy()[order] * 100 + 0.5).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(cents)])
+            lo = np.searchsorted(ts, ts - win_us, side="left")
+            hi = np.searchsorted(ts, ts, side="right")  # include ts peers
+            eids.append(eid)
+            uids.append(np.full(eid.size, uid, dtype=np.int64))
+            sums.append((csum[hi] - csum[lo]) / 100.0)
+            counts.append(hi - lo)
+        if not eids:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(eids), type=pa.int64()),
+                "user_id": pa.array(np.concatenate(uids)),
+                "rolling_value": pa.array(np.concatenate(sums)),
+                "n_window": pa.array(np.concatenate(counts), type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return ds.groupby("user_id").map_groups(rolling, batch_format="pandas")
+
+
+Q_ROLLING_SQL = """
+SELECT event_id, user_id,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER w / 100.0 AS rolling_value,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""

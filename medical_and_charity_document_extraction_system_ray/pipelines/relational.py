@@ -713,3 +713,277 @@ Q_LEFT_JOIN_SQL = """
 SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, n_name
 FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation): priorities -> columns per status
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = [
+    ("1-URGENT", "p1_urgent"),
+    ("2-HIGH", "p2_high"),
+    ("3-MEDIUM", "p3_medium"),
+    ("4-NOT SPECIFIED", "p4_notspec"),
+    ("5-LOW", "p5_low"),
+]
+
+
+def q_priority_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Pivot: one row per order status, one count column per priority —
+    conditional aggregation done vectorized per batch (boolean cast +
+    group_by sum), so the shuffle moves one partial row per (batch,
+    status) instead of one per order."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"o_orderstatus": t["o_orderstatus"]}
+        for lit, name in _PRIORITIES:
+            cols[name] = pc.cast(
+                pc.equal(t["o_orderpriority"], lit), pa.int64()
+            )
+        return (
+            pa.table(cols)
+            .group_by("o_orderstatus")
+            .aggregate([(name, "sum") for _, name in _PRIORITIES])
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("o_orderstatus").aggregate(
+        *[Sum(f"{name}_sum", alias_name=name) for _, name in _PRIORITIES]
+    )
+    return agg.map_batches(
+        lambda t: t.select(["o_orderstatus"] + [n for _, n in _PRIORITIES]),
+        batch_format="pyarrow",
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_notspec,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group argmax: richest customer per nation
+# ---------------------------------------------------------------------------
+
+def q_top_customer_per_nation(sf_dir: str) -> ray.data.Dataset:
+    """argmax per group with a deterministic tie-break (max c_acctbal,
+    then min c_custkey): per-batch winners first — one candidate row per
+    (batch, nation) — then a tiny final groupby resolves across batches.
+    The shuffle never moves the full customer table."""
+    ds = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        nat = pc.cast(t["c_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        key = t["c_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -bal, nat))
+        first = np.concatenate([[True], nat[order][1:] != nat[order][:-1]])
+        w = order[first]
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nat[w]),
+                "top_custkey": pa.array(key[w]),
+                "top_acctbal": pa.array(bal[w]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(g: pa.Table) -> pa.Table:
+        return partial(
+            g.rename_columns(["c_nationkey", "c_custkey", "c_acctbal"])
+        ).rename_columns(["c_nationkey", "top_custkey", "top_acctbal"])
+
+    return partials.groupby("c_nationkey").map_groups(final, batch_format="pyarrow")
+
+
+Q_ARGMAX_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       c_custkey AS top_custkey, c_acctbal AS top_acctbal
+FROM customer
+QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window-filter: orders above their customer's average order value
+# ---------------------------------------------------------------------------
+
+def q_orders_above_cust_avg(sf_dir: str) -> ray.data.Dataset:
+    """Orders strictly above their customer's own average total —
+    the correlated-subquery / AVG() OVER (PARTITION BY) shape.
+
+    Keyed shuffle on o_custkey, then a vectorized compare inside the
+    group.  Exactness: compare on integers (cents * n > total_cents) —
+    no float division on either side."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+        ]
+    )
+
+    def above_avg(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = _cents(g["o_totalprice"]).to_numpy(zero_copy_only=False)
+        order = np.argsort(cust, kind="stable")
+        c, v = cust[order], cents[order]
+        starts = np.nonzero(np.concatenate([[True], c[1:] != c[:-1]]))[0]
+        gid = np.cumsum(np.concatenate([[0], (c[1:] != c[:-1]).astype(np.int64)]))
+        totals = np.bincount(gid, weights=v).astype(np.int64)
+        counts = np.bincount(gid)
+        keep_sorted = v * counts[gid] > totals[gid]
+        keep = np.zeros(len(g), dtype=bool)
+        keep[order] = keep_sorted
+        return pa.table(
+            {
+                "o_orderkey": g["o_orderkey"].filter(pa.array(keep)),
+                "o_custkey": g["o_custkey"].filter(pa.array(keep)),
+                "o_totalprice": g["o_totalprice"].filter(pa.array(keep)),
+            },
+            schema=out_schema,
+        )
+
+    return ds.groupby("o_custkey").map_groups(above_avg, batch_format="pyarrow")
+
+
+Q_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey)
+QUALIFY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) * COUNT(*) OVER w
+        > SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER w
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join: fixed-size filter prunes the fact scan
+# ---------------------------------------------------------------------------
+
+def _bloom_build(keys: np.ndarray, bits_per_key: int = 16, k: int = 4):
+    """Blocked numpy Bloom filter: (bitarray uint64[], mask, k).  Double
+    hashing h1 + i*h2 over splitmix64-style mixes — pure vectorized
+    construction and probes."""
+    m = 1 << max(6, int(np.ceil(np.log2(max(1, keys.size * bits_per_key)))))
+    mask = np.uint64(m - 1)
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    h1, h2 = _bloom_hashes(keys.astype(np.uint64))
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return bits, mask, k
+
+
+def _bloom_hashes(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h1 = z ^ (z >> np.uint64(31))
+        w = x * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(1)
+        w = (w ^ (w >> np.uint64(29))) * np.uint64(0xFF51AFD7ED558CCD)
+        h2 = (w ^ (w >> np.uint64(32))) | np.uint64(1)
+    return h1, h2
+
+
+def _bloom_probe(bits: np.ndarray, mask: np.uint64, k: int, x: np.ndarray) -> np.ndarray:
+    h1, h2 = _bloom_hashes(x.astype(np.uint64))
+    out = np.ones(x.size, dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) & mask
+            word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+            out &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+    return out
+
+
+def q_bloom_brand_revenue(sf_dir: str, brand: str = "Brand#23") -> ray.data.Dataset:
+    """Revenue of one brand's parts via a Bloom-prefiltered semi join.
+
+    At 100 TB the dimension key set can be too big to broadcast
+    exactly, but its BLOOM FILTER is fixed-size: build it from the
+    filtered part keys (per-batch unique partials -> driver), broadcast
+    it once, and drop non-matching fact rows BEFORE any shuffle/join.
+    False positives are then removed by the exact key check on the
+    (already tiny) survivor set, so the result is exact — the oracle is
+    the plain inner-join SQL.  The measured prune ratio is carried in
+    the plan as the bloom's whole point."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def part_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["p_brand"], brand)
+        return pa.table(
+            {"p_partkey": pc.cast(pc.unique(t.filter(m)["p_partkey"]), pa.int64())}
+        )
+
+    parts = [
+        b["p_partkey"].to_numpy(zero_copy_only=False)
+        for b in part.map_batches(
+            part_keys, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    keys = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    bloom_ref = ray.put(_bloom_build(keys))
+    keys_ref = ray.put(keys)  # exact verify set (small after the filter)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits, mask, k = ray.get(bloom_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        cand = _bloom_probe(bits, mask, k, pk)       # fixed-size prune
+        surv = t.filter(pa.array(cand))
+        spk = surv["l_partkey"].to_numpy(zero_copy_only=False)
+        exact = np.isin(spk, ray.get(keys_ref))      # false-positive removal
+        surv = surv.filter(pa.array(exact))
+        rev_e4 = pc.multiply(
+            _cents(surv["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(surv["l_discount"])),
+        )
+        s = pc.sum(rev_e4).as_py() or 0
+        return pa.table(
+            {
+                "rev_e4": pa.array([s], pa.int64()),
+                "n_items": pa.array([len(surv)], pa.int64()),
+            }
+        )
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    partials = li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(None).aggregate(
+        Sum("rev_e4", alias_name="s"), Sum("n_items", alias_name="n_items")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "revenue": pc.divide(pc.cast(t["s"], pa.float64()), 10000.0),
+                "n_items": pc.cast(t["n_items"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_BLOOM_SQL = """
+SELECT SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+"""

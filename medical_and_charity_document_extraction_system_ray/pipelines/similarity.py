@@ -281,3 +281,169 @@ def q_knn_ivf_recall(
 Q_KNN_IVF_RECALL_SQL = """
 SELECT 10 AS k, TRUE AS recall_ok
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (grouped vector mean) — long-format, value-oracled
+# ---------------------------------------------------------------------------
+
+def q_label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Mean embedding per label, emitted long-format (label, dim, value)
+    so the driver's value compare works on scalars.
+
+    Exactness across engines: each float32 component is snapped to the
+    1e-6 integer grid FIRST, partial integer sums per (label, batch) are
+    order-independent, and the final division happens once — DuckDB
+    reproduces the identical arithmetic (Q_CENTROIDS_SQL).  The shuffle
+    moves one [dim]-vector of int64 sums per label per batch."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.vectors import list_column_matrix
+
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = list_column_matrix(t["embedding"])
+        mq = np.floor(m * 1e6 + 0.5).astype(np.int64)  # 1e-6 grid
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dim = m.shape[1]
+        sums = np.zeros((uniq.size, dim), dtype=np.int64)
+        np.add.at(sums, inv, mq)
+        counts = np.bincount(inv, minlength=uniq.size)
+        # long format: one row per (label, dim)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim)),
+                "d": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), uniq.size)),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts.astype(np.int64), dim)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["label", "d"]).aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "label": pc.cast(t["label"], pa.int64()),
+                "d": pc.cast(t["d"], pa.int64()),
+                "centroid": pa.array(np.floor(s / n) / 1e6),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         UNNEST(list_transform(range(1, len(embedding)+1),
+             i -> struct_pack(d := i,
+                 vq := CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*1e6 + 0.5) AS BIGINT))))
+           AS u
+  FROM embeddings
+)
+SELECT label, CAST((u).d AS BIGINT) AS d,
+       FLOOR(CAST(SUM((u).vq) AS DOUBLE) / COUNT(*)) / 1e6 AS centroid
+FROM e GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-query exact top-k (batched ANN serving shape)
+# ---------------------------------------------------------------------------
+
+def q_knn_multi(
+    sf_dir: str, query_vec_ids: tuple[int, ...] = (0, 1, 2, 3), k: int = 5
+) -> ray.data.Dataset:
+    """Exact cosine top-k for SEVERAL query vectors at once: the query
+    matrix is broadcast once (``ray.put``), every batch scores against
+    ALL queries with one matmul, keeps its local top-k PER QUERY, and a
+    final per-query ``map_groups`` resolves the global top-k — the
+    batched serving shape (m queries cost one [n,dim]x[dim,m] matmul,
+    not m scans)."""
+    import pyarrow.compute as pc
+
+    qtab = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(query_vec_ids))],
+    )
+    qids = qtab["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    from ..functions.vectors import list_column_matrix
+
+    qm = list_column_matrix(qtab["embedding"])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qm))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        qids_, qm_ = ray.get(q_ref)
+        ids, m = _matrix(t)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mn = np.where(norms > 0, m / norms, 0.0)
+        sims = mn @ qm_.T  # [n, m]
+        kk = min(k, sims.shape[0])
+        out_q, out_v, out_c = [], [], []
+        for j in range(qids_.size):
+            order = np.lexsort((ids, -sims[:, j]))[:kk]
+            out_q.append(np.full(kk, qids_[j], dtype=np.int64))
+            out_v.append(ids[order].astype(np.int64))
+            out_c.append(np.floor(sims[order, j] * 1e6 + 1e-3) / 1e6)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("cosine", pa.float64())]
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "query_id" not in g.column_names:
+            return out_schema.empty_table()
+        g = g.combine_chunks()
+        order = pc.sort_indices(
+            g, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")]
+        )[: min(k, len(g))]
+        top = g.take(order)
+        return pa.table(
+            {
+                "query_id": pc.cast(top["query_id"], pa.int64()),
+                "vec_id": pc.cast(top["vec_id"], pa.int64()),
+                "cosine": top["cosine"],
+            },
+            schema=out_schema,
+        )
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
+Q_KNN_MULTI_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+)
+SELECT query_id, e.vec_id,
+       FLOOR(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+             * 1000000 + 0.001) / 1000000 AS cosine
+FROM embeddings e CROSS JOIN q
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+             e.vec_id) <= 5
+"""

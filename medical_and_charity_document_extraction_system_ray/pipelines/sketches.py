@@ -128,3 +128,115 @@ Q_APPROX_DISTINCT_CHECK_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users, TRUE AS est_ok
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: mergeable, deterministic, fully value-oracled
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+
+
+def q_hist_quantiles(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.9), bins: int = HIST_BINS
+) -> ray.data.Dataset:
+    """Approximate quantiles of o_totalprice from a fixed-bin histogram
+    sketch — the two-pass mergeable shape for 10^12 rows:
+
+    pass 1: min/max (tiny aggregate); pass 2: per-batch bin COUNTS
+    (order-independent integer sums -> groupby).  The estimate is the
+    lower edge of the bin holding the target rank — deterministic and
+    bin-exact, so DuckDB recomputes the IDENTICAL histogram and edge:
+    this approximate operator is fully value-oracled (unlike
+    order-sensitive GK/t-digest merges, which can only be band-gated).
+    Error bound: (max-min)/bins, asserted by pytest against the exact
+    quantile."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    # pass 1: bounds on the integer-cents grid (exact in both engines)
+    def minmax(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(c).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(c).as_py()], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = (
+        ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(None)
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .take(1)[0]
+    )
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    width = max(1, -(-(hi - lo + 1) // bins))  # ceil: every value in range
+
+    # pass 2: bin counts (vectorized bincount per batch)
+    def hist(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        b = (c - lo) // width
+        counts = np.bincount(b, minlength=bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # small result: bins rows -> finalize on the driver
+    rows = agg.take_all()
+    counts = np.zeros(bins, dtype=np.int64)
+    for r in rows:
+        counts[int(r["bin"])] = int(r["n"])
+    csum = np.cumsum(counts)
+    total = int(csum[-1])
+    out_q, out_est = [], []
+    for q in qs:
+        rank = int(np.ceil(q * total))  # 1-based rank, quantile_disc style
+        b = int(np.searchsorted(csum, max(rank, 1)))
+        out_q.append(q)
+        out_est.append((lo + b * width) / 100.0)  # lower bin edge, dollars
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q": pa.array(out_q, pa.float64()),
+                "est": pa.array(out_est, pa.float64()),
+            }
+        )
+    )
+
+
+Q_HIST_QUANTILES_SQL = f"""
+WITH c AS (
+  SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS v FROM orders
+), b AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi,
+         GREATEST(1, CAST(CEIL((MAX(v) - MIN(v) + 1) / {HIST_BINS}.0) AS BIGINT)) AS w
+  FROM c
+), h AS (
+  SELECT (v - b.lo) // b.w AS bin, COUNT(*) AS n FROM c, b GROUP BY 1
+), cum AS (
+  SELECT bin, SUM(n) OVER (ORDER BY bin) AS csum, SUM(n) OVER () AS total
+  FROM h
+), qs AS (SELECT UNNEST([0.25, 0.5, 0.9]) AS q)
+SELECT q,
+       (b.lo + (SELECT MIN(bin) FROM cum
+                WHERE csum >= GREATEST(CAST(CEIL(q * total) AS BIGINT), 1)) * b.w)
+       / 100.0 AS est
+FROM qs, b, (SELECT DISTINCT total FROM cum) t(total)
+"""

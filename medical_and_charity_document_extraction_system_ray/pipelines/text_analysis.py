@@ -274,3 +274,68 @@ SELECT doc_id,
        CAST(hu // 281474976710656 AS INTEGER) AS bucket
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# Top-k tokens per language (explode -> two-level aggregate -> grouped top-k)
+# ---------------------------------------------------------------------------
+
+def q_top_tokens_per_lang(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """The k most frequent whitespace tokens per language (count DESC,
+    token ASC tie-break).
+
+    Scale shape: tokens are exploded AND pre-counted per (batch, lang,
+    token) inside ``map_batches`` (vectorized Arrow split + group_by),
+    so the shuffle moves one row per distinct (lang, token) per batch —
+    never one row per token occurrence.  A final per-lang ``map_groups``
+    takes the top k."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        lang = t["lang"].combine_chunks().take(parent)
+        tmp = pa.table({"lang": lang, "token": flat})
+        tmp = tmp.filter(pc.not_equal(tmp["token"], ""))  # empty-text rows
+        g = tmp.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "token", "n"])
+
+    partials = ds.map_batches(explode_count, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["lang", "token"]).aggregate(Sum("n", alias_name="n"))
+
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "lang" not in g.column_names:
+            return out_schema.empty_table()
+        g = g.combine_chunks()
+        order = pc.sort_indices(
+            g, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )[: min(k, len(g))]
+        top = g.take(order)
+        return pa.table(
+            {
+                "lang": top["lang"],
+                "token": top["token"],
+                "n": pc.cast(top["n"], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return agg.groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
+Q_TOP_TOKENS_SQL = r"""
+WITH toks AS (
+  SELECT lang, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT lang, token, COUNT(*) AS n FROM toks WHERE token <> ''
+  GROUP BY lang, token
+)
+SELECT lang, token, n FROM counts
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) <= 5
+"""
