@@ -1,0 +1,109 @@
+"""Edge-semantics tests for the round-3 operator additions (the driver
+gate checks values against DuckDB; these pin the tricky semantics with
+hand-built fixtures): hopping-window membership, RANGE-frame ts peers,
+Bloom filter no-false-negatives, histogram-quantile error bound."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+
+def _write_events(tmp_path, ts_us, user_id, value):
+    n = len(ts_us)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(np.asarray(ts_us, np.int64)).view(pa.timestamp("us")),
+            "user_id": pa.array(user_id, pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_hopping_window_membership(tmp_path):
+    """An event at minute 30 belongs to exactly the 4 hour-long windows
+    starting at minutes -30, -15, 0, 15 (epoch-aligned grid)."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_hopping_window_stats,
+    )
+
+    ts = [(1_700_000_000 + 30 * 60) * 1_000_000]  # minute 30 after an epoch point
+    sf = _write_events(tmp_path, ts, [1], [2.0])
+    out = q_hopping_window_stats(sf).to_pandas().sort_values("window_start")
+    assert len(out) == 4
+    starts = out["window_start"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    ev = ts[0]
+    # each window contains the event: ws <= ts < ws + 60min
+    assert np.all((starts <= ev) & (ev < starts + 60 * 60 * 1_000_000))
+    # consecutive windows are one hop apart
+    assert np.all(np.diff(starts) == 15 * 60 * 1_000_000)
+    assert (out["n_events"] == 1).all()
+
+
+def test_rolling_window_includes_ts_peers(tmp_path):
+    """SQL RANGE ... CURRENT ROW includes ALL rows with the same ts —
+    both duplicate-ts events must see each other's value."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_rolling_user_value,
+    )
+
+    t0 = 1_700_000_000 * 1_000_000
+    hour = 60 * 60 * 1_000_000
+    #              in-window    dup-ts pair           out-of-window
+    ts = [t0, t0 + hour // 2, t0 + hour, t0 + hour, t0 + 3 * hour]
+    sf = _write_events(tmp_path, ts, [7] * 5, [1.0, 2.0, 4.0, 8.0, 16.0])
+    out = (
+        q_rolling_user_value(sf)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # event 0: only itself; event 1: 1+2; events 2,3 (same ts): both see
+    # 2+4+8 (+1? t0 is exactly 1h before t0+hour -> inside closed lower
+    # bound [ts-1h, ts] -> 1+2+4+8); event 4: only itself
+    assert out.loc[0, "rolling_value"] == 1.0
+    assert out.loc[1, "rolling_value"] == 3.0
+    assert out.loc[2, "rolling_value"] == 15.0
+    assert out.loc[3, "rolling_value"] == 15.0
+    assert out.loc[2, "n_window"] == 4 and out.loc[3, "n_window"] == 4
+    assert out.loc[4, "rolling_value"] == 16.0
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from medical_and_charity_document_extraction_system_ray.pipelines.relational import (
+        _bloom_build,
+        _bloom_probe,
+    )
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(10_000_000, size=5000, replace=False).astype(np.int64)
+    bits, mask, k = _bloom_build(keys)
+    assert _bloom_probe(bits, mask, k, keys).all()  # zero false negatives
+    probe = rng.choice(10_000_000, size=20000, replace=False).astype(np.int64)
+    outside = probe[~np.isin(probe, keys)]
+    fp = _bloom_probe(bits, mask, k, outside).mean()
+    assert fp < 0.01  # 16 bits/key, k=4 -> ~0.2% expected
+
+
+def test_hist_quantiles_within_bin_error():
+    from medical_and_charity_document_extraction_system_ray.pipelines.sketches import (
+        HIST_BINS,
+        q_hist_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    est = q_hist_quantiles(sf).to_pandas().set_index("q")["est"]
+    prices = pq.read_table(
+        f"{sf}/orders.parquet", columns=["o_totalprice"]
+    )["o_totalprice"].to_numpy(zero_copy_only=False)
+    cents = np.floor(prices * 100 + 0.5).astype(np.int64)
+    width = max(1, -(-(cents.max() - cents.min() + 1) // HIST_BINS))
+    for q in (0.25, 0.5, 0.9):
+        exact = np.sort(cents)[int(np.ceil(q * cents.size)) - 1] / 100.0
+        assert abs(est[q] - exact) <= width / 100.0  # one-bin bound
