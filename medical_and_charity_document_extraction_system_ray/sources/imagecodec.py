@@ -238,7 +238,8 @@ def bmp_encode(img: np.ndarray) -> bytes:
 
 
 def decode_image_bytes(data: bytes, ref: str = "") -> np.ndarray:
-    """Sniff-and-decode: PNG, BMP or baseline JPEG by magic bytes."""
+    """Sniff-and-decode: PNG, BMP, baseline JPEG or baseline TIFF by
+    magic bytes — the full reference ALLOWED_EXTENSIONS matrix."""
     if data[:8] == _PNG_SIG:
         return png_decode(data)
     if data[:2] == b"BM":
@@ -247,8 +248,12 @@ def decode_image_bytes(data: bytes, ref: str = "") -> np.ndarray:
         from .jpegcodec import jpeg_decode
 
         return jpeg_decode(data)
+    if data[:2] in (b"II", b"MM"):
+        from .tiffcodec import tiff_decode
+
+        return tiff_decode(data)
     raise NotImplementedError(
-        f"no decoder for media {ref!r}: PNG, BMP and baseline JPEG have "
-        "pure-python decoders here; tiff needs an imaging library not "
-        "present in this environment (stubbed per multimodal policy)"
+        f"no decoder for media {ref!r}: PNG, BMP, baseline JPEG and "
+        "baseline TIFF have pure-python decoders here; anything else "
+        "needs an imaging library not present in this environment"
     )

@@ -16,13 +16,13 @@ Schemes:
   inside the ref and is rendered on demand.
 - ``npy://{path}`` — raw ndarray on disk (np.load).
 - ``file://{path}`` or a bare path ending ``.png``/``.bmp``/``.jpg``/
-  ``.jpeg`` — decoded with the pure-python codecs
+  ``.jpeg``/``.tif``/``.tiff`` — decoded with the pure-python codecs
   (``sources/imagecodec.py`` for PNG/BMP, ``sources/jpegcodec.py`` for
-  baseline JPEG; the reference's ``cv2.imread`` analog,
-  ``file_utils.py:129-173``).
-- ``.tiff`` — still a marked error stub (LZW/tag-soup decode is out of
-  scope).  The Ray-side plumbing (actor signature, batch layout) is
-  identical for all schemes.
+  baseline JPEG, ``sources/tiffcodec.py`` for baseline TIFF; the
+  reference's ``cv2.imread`` analog, ``file_utils.py:129-173`` — the
+  full ALLOWED_EXTENSIONS matrix is now covered).  The Ray-side
+  plumbing (actor signature, batch layout) is identical for all
+  schemes.
 """
 
 from __future__ import annotations
@@ -92,16 +92,18 @@ class MediaResolver:
                 if media_ref.startswith(FILE_SCHEME)
                 else media_ref
             )
-            if path.lower().endswith((".png", ".bmp", ".jpg", ".jpeg")):
+            if path.lower().endswith(
+                (".png", ".bmp", ".jpg", ".jpeg", ".tif", ".tiff")
+            ):
                 from .imagecodec import decode_image_bytes
 
                 with open(path, "rb") as f:
                     return decode_image_bytes(f.read(), ref=media_ref)
             raise MediaCodecUnavailableError(
                 f"no image codec available for media_ref {media_ref!r}; "
-                "tiff decode requires an imaging library not present "
-                "in this environment (stubbed per multimodal policy); "
-                "png/bmp/jpg are decoded by the built-in pure-python codecs"
+                "png/bmp/jpg/tiff are decoded by the built-in pure-python "
+                "codecs — anything else needs an imaging library not "
+                "present in this environment"
             )
         raise MediaSchemeError(
             f"no reader for media scheme in {media_ref!r}; a deployment "

@@ -89,7 +89,7 @@ def test_decode_sniffs_format(gray):
     np.testing.assert_array_equal(decode_image_bytes(png_encode(gray)), gray)
     np.testing.assert_array_equal(decode_image_bytes(bmp_encode(gray)), gray)
     with pytest.raises(NotImplementedError):
-        decode_image_bytes(b"II*\x00 tiff-ish", ref="x.tiff")
+        decode_image_bytes(b"GIF89a gif-ish", ref="x.gif")
 
 
 def test_resolver_decodes_png_and_bmp_files(tmp_path, gray):
@@ -102,7 +102,7 @@ def test_resolver_decodes_png_and_bmp_files(tmp_path, gray):
     b.write_bytes(bmp_encode(gray))
     np.testing.assert_array_equal(r.resolve(str(b)), gray)
     with pytest.raises(NotImplementedError):
-        r.resolve(str(tmp_path / "page.tiff"))
+        r.resolve(str(tmp_path / "page.gif"))
 
 
 def test_png_media_ref_through_extraction(tmp_path):
