@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_ranks": events.q_user_event_ranks,
         "hopping_window_stats": events.q_hopping_window_stats,
         "rolling_user_value": events.q_rolling_user_value,
+        "event_gaps": events.q_event_gaps,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_ranks": events.Q_RANKS_SQL,
         "hopping_window_stats": events.Q_HOPPING_SQL,
         "rolling_user_value": events.Q_ROLLING_SQL,
+        "event_gaps": events.Q_EVENT_GAPS_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "lang_id": text_analysis.Q_LANG_ID_SQL,

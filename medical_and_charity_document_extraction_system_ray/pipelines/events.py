@@ -427,3 +427,56 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
+
+
+def q_event_gaps(sf_dir: str) -> ray.data.Dataset:
+    """LAG window analog: per event, microseconds since the user's
+    previous event (NULL for each user's first).  Deterministic order
+    (ts, event_id) on both sides; keyed shuffle + one vectorized diff
+    per user."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("gap_us", pa.int64()),
+        ]
+    )
+
+    def gaps(g: pd.DataFrame) -> pa.Table:
+        eids, uids, gps = [], [], []
+        for uid, grp in g.groupby("user_id", sort=True):
+            order = np.lexsort((grp["event_id"].to_numpy(), grp["ts"].to_numpy()))
+            ts = grp["ts"].to_numpy()[order].astype("datetime64[us]").astype(np.int64)
+            eid = grp["event_id"].to_numpy()[order]
+            gap = np.empty(ts.size, dtype=np.float64)
+            gap[0] = np.nan  # NULL for the first event
+            gap[1:] = np.diff(ts)
+            eids.append(eid)
+            uids.append(np.full(eid.size, uid, dtype=np.int64))
+            gps.append(gap)
+        if not eids:
+            return out_schema.empty_table()
+        g_all = np.concatenate(gps)
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(eids), type=pa.int64()),
+                "user_id": pa.array(np.concatenate(uids)),
+                "gap_us": pa.array(
+                    np.where(np.isnan(g_all), 0, g_all).astype(np.int64),
+                    mask=np.isnan(g_all),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+Q_EVENT_GAPS_SQL = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts - LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+FROM events
+"""
