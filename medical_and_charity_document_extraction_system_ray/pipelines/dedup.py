@@ -641,14 +641,17 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     cand = bands.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
     # a qualifying pair appears in >=1 band tables: dedup by key
     uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
-    return uniq.map_batches(
-        _with_schema(
-            pa.schema(
-                [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
-            )
-        ),
-        batch_format="pyarrow",
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
     )
+    result = uniq.map_batches(
+        _with_schema(out_schema), batch_format="pyarrow"
+    ).materialize()
+    if result.count() == 0:
+        # a corpus with no pairs at hamming<=3 yields only empty blocks,
+        # whose reported schema is an upstream one — pin ours
+        return ray.data.from_arrow(out_schema.empty_table())
+    return result
 
 
 Q_SIMHASH_SQL = r"""
@@ -791,7 +794,13 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
             schema=_PAIR_SCHEMA,
         )
 
-    return ds.groupby(["lang", "len_bucket"]).map_groups(pairs, batch_format="pyarrow")
+    result = ds.groupby(["lang", "len_bucket"]).map_groups(
+        pairs, batch_format="pyarrow"
+    ).materialize()
+    if result.count() == 0:
+        # all-empty results report an upstream block's schema — pin ours
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+    return result
 
 
 Q_NGRAM_SQL = """

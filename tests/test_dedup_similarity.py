@@ -331,3 +331,38 @@ def test_utf8_codepoints_sliced_array():
     expect = [ord(c) for c in "béta"] + [ord(c) for c in "gamma"]
     assert cps.tolist() == expect
     assert rows.tolist() == [0] * 4 + [1] * 5
+
+
+def test_simhash_and_ngram_empty_results_keep_schema(tmp_path):
+    """A corpus with no near-dups must yield 0 rows WITH the declared
+    columns (the all-empty-blocks schema bug class from r2's
+    embedding_neardup_lsh)."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_ngram_jaccard,
+    )
+
+    rng = np.random.default_rng(12)
+    texts = [
+        " ".join(f"w{rng.integers(1e9)}" for _ in range(30)) for _ in range(40)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 40),
+                "source": pa.array(["t"] * 40),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+    # Dataset.to_pandas drops columns for all-empty datasets; the driver
+    # reads Dataset.schema(), so that is what must be pinned
+    sh = q_simhash_pairs(sf)
+    assert sh.count() == 0
+    assert sh.schema().names == ["doc_a", "doc_b", "hamming"]
+    ng = q_ngram_jaccard(sf)
+    assert ng.count() == 0
+    assert ng.schema().names == ["doc_a", "doc_b", "jaccard"]
