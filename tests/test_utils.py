@@ -79,3 +79,65 @@ def test_media_feature_extractor_error_rows():
     out = MediaFeatureExtractor()(batch).to_pylist()
     assert out[0]["success"] is True
     assert out[1]["success"] is False and "scheme" in out[1]["error"]
+
+
+def test_read_flat_documents_formats_agree(tmp_path):
+    """parquet / JSONL / CSV sources normalize to one schema and yield
+    identical rows (n_chars computed when the source lacks it)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_and_charity_document_extraction_system_ray.sources.readers import (
+        read_flat_documents,
+        write_results_json,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta", "lang": "en"},
+        {"doc_id": 2, "text": "gamma", "lang": "de"},
+        {"doc_id": 3, "text": "", "lang": "en"},
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "text": pa.array([r["text"] for r in rows]),
+                "lang": pa.array([r["lang"] for r in rows]),
+            }
+        ),
+        str(tmp_path / "docs.parquet"),
+    )
+    with open(tmp_path / "docs.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    with open(tmp_path / "docs.csv", "w") as f:
+        f.write("doc_id,text,lang\n")
+        for r in rows:
+            f.write(f"{r['doc_id']},{r['text']},{r['lang']}\n")
+
+    outs = {}
+    for name in ("docs.parquet", "docs.jsonl", "docs.csv"):
+        df = (
+            read_flat_documents(str(tmp_path / name))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        if "n_chars" not in df.columns:  # parquet passthrough keeps source cols
+            df["n_chars"] = df["text"].str.len()
+        outs[name] = df[["doc_id", "text", "lang", "n_chars"]]
+    assert outs["docs.parquet"].equals(outs["docs.jsonl"])
+    assert outs["docs.parquet"].equals(outs["docs.csv"])
+
+    # JSON sink roundtrip
+    ds = read_flat_documents(str(tmp_path / "docs.jsonl"))
+    write_results_json(ds, str(tmp_path / "out_json"))
+    import glob
+
+    got = []
+    for p in glob.glob(str(tmp_path / "out_json" / "*.json")):
+        with open(p) as f:
+            got.extend(_json.loads(line) for line in f if line.strip())
+    assert sorted(r["doc_id"] for r in got) == [1, 2, 3]
