@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_percentiles_disc": relational.q_price_percentiles_disc,
         "string_functions": scalar_suite.q_string_functions,
         "hash_sample": scalar_suite.q_hash_sample,
+        "stratified_sample": scalar_suite.q_stratified_sample,
         "monthly_order_stats": scalar_suite.q_monthly_order_stats,
         "customers_without_orders": relational.q_customers_without_orders,
         "customer_nation_left": relational.q_customer_nation_left,
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_stats": events.q_hopping_window_stats,
         "rolling_user_value": events.q_rolling_user_value,
         "event_gaps": events.q_event_gaps,
+        "user_value_ntiles": events.q_user_value_ntiles,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
@@ -126,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "price_percentiles_disc": relational.Q_PCT_DISC_SQL,
         "string_functions": scalar_suite.Q_STRING_SQL,
         "hash_sample": scalar_suite.Q_HASH_SAMPLE_SQL,
+        "stratified_sample": scalar_suite.Q_STRATIFIED_SQL,
         "monthly_order_stats": scalar_suite.Q_MONTHLY_SQL,
         "customers_without_orders": relational.Q_ANTI_SQL,
         "customer_nation_left": relational.Q_LEFT_JOIN_SQL,
@@ -139,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "hopping_window_stats": events.Q_HOPPING_SQL,
         "rolling_user_value": events.Q_ROLLING_SQL,
         "event_gaps": events.Q_EVENT_GAPS_SQL,
+        "user_value_ntiles": events.Q_NTILE_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "lang_id": text_analysis.Q_LANG_ID_SQL,

@@ -480,3 +480,53 @@ SELECT event_id, user_id,
                                         ORDER BY ts, event_id)) AS BIGINT) AS gap_us
 FROM events
 """
+
+
+def q_user_value_ntiles(sf_dir: str, n: int = 4) -> ray.data.Dataset:
+    """NTILE(4) per user over (value, event_id) order — quartile
+    bucketing inside each key, deterministic tie-break.  Keyed shuffle +
+    one argsort per user; tile sizes follow SQL NTILE semantics (first
+    ``extra`` tiles get the +1)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("tile", pa.int64()),
+        ]
+    )
+
+    def ntiles(g: pd.DataFrame) -> pa.Table:
+        eids, uids, tiles = [], [], []
+        for uid, grp in g.groupby("user_id", sort=True):
+            order = np.lexsort((grp["event_id"].to_numpy(), grp["value"].to_numpy()))
+            eid = grp["event_id"].to_numpy()[order]
+            m = eid.size
+            base, extra = divmod(m, n)
+            sizes = np.full(n, base, dtype=np.int64)
+            sizes[:extra] += 1
+            tile = np.repeat(np.arange(1, n + 1, dtype=np.int64), sizes)[:m]
+            eids.append(eid)
+            uids.append(np.full(m, uid, dtype=np.int64))
+            tiles.append(tile)
+        if not eids:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(eids), type=pa.int64()),
+                "user_id": pa.array(np.concatenate(uids)),
+                "tile": pa.array(np.concatenate(tiles)),
+            },
+            schema=out_schema,
+        )
+
+    return ds.groupby("user_id").map_groups(ntiles, batch_format="pandas")
+
+
+Q_NTILE_SQL = """
+SELECT event_id, user_id,
+       CAST(NTILE(4) OVER (PARTITION BY user_id
+                           ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events
+"""

@@ -151,3 +151,40 @@ WHERE list_reduce(list_prepend(CAST(0 AS HUGEINT),
                          i -> unicode((CAST(doc_id AS VARCHAR))[i]))),
           (a, x) -> (a * 1099511628211 + x) % 18446744073709551616) % 100 < 5
 """
+
+
+STRATA_PCT = {"en": 2, "de": 10, "fr": 10, "es": 25, "zh": 25}  # % per lang
+
+
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic STRATIFIED sample: each language keeps a different
+    hash-bucket fraction (downsample the dominant stratum, keep more of
+    the rare ones — the class-rebalancing primitive for training-data
+    curation).  Same shard-local zero-coordination shape as
+    q_hash_sample; unknown languages keep 5%."""
+    from ..functions.text import fingerprint64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = fingerprint64(pc.cast(t["doc_id"], pa.string())) % np.uint64(100)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        cut = np.full(len(t), 5, dtype=np.uint64)
+        for lang, pct in STRATA_PCT.items():
+            cut[langs == lang] = pct
+        return t.filter(pa.array(h < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_STRATIFIED_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE list_reduce(list_prepend(CAST(0 AS HUGEINT),
+          list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+                         i -> unicode((CAST(doc_id AS VARCHAR))[i]))),
+          (a, x) -> (a * 1099511628211 + x) % 18446744073709551616) % 100
+      < CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 10 WHEN 'fr' THEN 10
+                  WHEN 'es' THEN 25 WHEN 'zh' THEN 25 ELSE 5 END
+"""
