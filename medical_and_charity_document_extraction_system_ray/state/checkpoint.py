@@ -141,6 +141,7 @@ def run_with_checkpoints(
     num_partitions: int = 16,
     on_partition_done: Callable[[int], None] | None = None,
     finalize_fn: "Callable | None" = None,
+    reader_fn: "Callable[[list[str]], ray.data.Dataset] | None" = None,
 ) -> dict:
     """Run ``pipeline_fn`` over the file groups with per-partition
     checkpointing — ONE streaming execution for all dirty partitions
@@ -185,10 +186,14 @@ def run_with_checkpoints(
             "manifest": load_manifest(out_dir),
         }
 
-    # ONE dataset over all dirty groups, each tagged at read time
+    # ONE dataset over all dirty groups, each tagged at read time.
+    # reader_fn generalizes the source (default parquet; e.g. read_pdfs
+    # for a .pdf input set — fingerprints fall back to path+size there)
+    if reader_fn is None:
+        reader_fn = ray.data.read_parquet
     parts = []
     for pid in dirty:
-        p = ray.data.read_parquet(groups[pid]).map_batches(
+        p = reader_fn(groups[pid]).map_batches(
             lambda t, _pid=pid: t.append_column(
                 "partition_id", pa.array([_pid] * len(t), type=pa.int32())
             ),

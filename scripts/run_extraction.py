@@ -68,12 +68,31 @@ def main() -> int:
     )
 
     if os.path.isdir(args.input):
-        files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        files = sorted(
+            glob.glob(os.path.join(args.input, "*.parquet"))
+            or glob.glob(os.path.join(args.input, "*.pdf"))
+        )
     else:
         files = sorted(glob.glob(args.input))
     if not files:
         print(f"no input files match {args.input!r}", file=sys.stderr)
         return 2
+
+    # a .pdf input set goes through the import-gated PyMuPDF adapter
+    # (sources/pdf_adapter.py) straight into the same checkpointed
+    # pipeline; per-file failures become empty-span rows, and the
+    # fingerprints fall back to path+size (no parquet footer)
+    reader_fn = None
+    if all(f.lower().endswith(".pdf") for f in files):
+        from medical_and_charity_document_extraction_system_ray.sources.pdf_adapter import (
+            read_pdfs,
+        )
+
+        def reader_fn(group):
+            ds = read_pdfs(group, concurrency=max(2, min(8, len(group))))
+            return ds.map_batches(
+                lambda t: t.drop_columns(["error"]), batch_format="pyarrow"
+            )
 
     if args.gc_stale:
         removed = cleanup_stale_partials(args.output)
@@ -101,7 +120,7 @@ def main() -> int:
     t0 = time.time()
     summary = run_with_checkpoints(
         files, args.output, pipeline, num_partitions=args.partitions,
-        finalize_fn=reassemble_table,
+        finalize_fn=reassemble_table, reader_fn=reader_fn,
     )
     wall = time.time() - t0
     rows = sum(e["rows"] for e in summary["manifest"].values())

@@ -212,3 +212,25 @@ def test_zero_row_recommit_clears_stale_output(tmp_path):
     assert s2["executed"] == [0]
     assert load_manifest(out_dir)[0]["rows"] == 0
     assert _collect(out_dir) == []  # no stale parquet left in part-00000/
+
+
+def test_custom_reader_fn_used(sharded_input, tmp_path):
+    """run_with_checkpoints reads dirty groups through reader_fn (the
+    hook the PDF ingestion path uses) — called once per dirty group."""
+    import ray.data
+
+    calls = []
+
+    def rf(group):
+        calls.append(list(group))
+        return ray.data.read_parquet(group)
+
+    out = str(tmp_path / "o")
+    s = _run(sharded_input[:2], out, num_partitions=2, reader_fn=rf)
+    assert s["executed"] == [0, 1]
+    assert len(calls) == 2 and all(len(g) == 1 for g in calls)
+    assert len(_collect(out)) == 30
+    # resume: nothing dirty, reader not called again
+    calls.clear()
+    s2 = _run(sharded_input[:2], out, num_partitions=2, reader_fn=rf)
+    assert s2["executed"] == [] and calls == []
