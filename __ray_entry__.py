@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_regions": multimodal.q_page_regions,
         "page_regions_check": multimodal.q_page_regions_check,
         "frame_sample_plan": multimodal.q_frame_sample_plan,
+        "audio_window_plan": multimodal.q_audio_window_plan,
     }
 
 
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features_geometry": multimodal.Q_MEDIA_GEOM_SQL,
         "page_regions_check": multimodal.Q_PAGE_REGIONS_SQL,
         "frame_sample_plan": multimodal.Q_FRAME_SAMPLE_SQL,
+        "audio_window_plan": multimodal.Q_AUDIO_PLAN_SQL,
         # rows-only (genuinely non-value-oracle-able): the production
         # probabilistic operators themselves — approx_distinct_users
         # (KMV estimate; bound gated by approx_distinct_check), knn_ivf

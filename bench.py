@@ -7,13 +7,17 @@ interleaved fixture corpus (FIXTURES.md §1 generator, cached under
 
 Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
-   "docs_per_sec": ...}
+   "queries": {...per-query min-of-2-passes sec...},
+   "queries_passes": {...both interleaved A/B passes...},
+   "scaling": {...latest --scaling campaign, from SCALING.json...},
+   "sf": ..., "num_cpus": N, "docs_per_sec": ...}
 
 ``--scaling`` runs the headline job twice in fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both
-throughputs + scaling efficiency (the sandbox evidence for the north
-rule's N-vs-4N-nodes criterion; see BASELINE.md).
+num_cpus=8 and num_cpus=32 (override via GRAFT_SCALE_LO/HI) on the
+same input and reports both throughputs + raw efficiency + the two
+measured host ceilings (the sandbox evidence for the north rule's
+N-vs-4N-nodes criterion; see BASELINE.md), persisting the result to
+SCALING.json for the plain bench to embed.
 """
 
 from __future__ import annotations

@@ -433,3 +433,122 @@ def q_page_regions(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: window plan (SQL-matched) + feature-extraction actor stage
+# ---------------------------------------------------------------------------
+
+def q_audio_window_plan(
+    sf_dir: str, frame_ms: int = 25, hop_ms: int = 10
+) -> ray.data.Dataset:
+    """Deterministic STFT-style framing plan for audio payloads: each
+    document models an audio clip (duration_ms = n_chars * 10, the
+    deterministic-metadata convention of q_frame_sample_plan) and emits
+    one row per 25 ms analysis window at a 10 ms hop — the plan half of
+    the audio path (real decode lives in sources/wavcodec.py; compressed
+    formats are the documented stub).  SQL-matched via generate_series:
+    window k exists while k*hop + frame <= duration."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def plan(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64) * 10
+        counts = np.maximum(0, (dur - frame_ms) // hop_ms + 1)
+        rep_doc = np.repeat(doc, counts)
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        k = np.arange(counts.sum(), dtype=np.int64) - np.repeat(starts, counts)
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_doc),
+                "window_idx": pa.array(k),
+                "start_ms": pa.array(k * hop_ms),
+            }
+        )
+
+    return ds.map_batches(plan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_AUDIO_PLAN_SQL = """
+SELECT d.doc_id,
+       CAST(gs.k AS BIGINT) AS window_idx,
+       CAST(gs.k * 10 AS BIGINT) AS start_ms
+FROM documents d,
+     LATERAL (SELECT UNNEST(generate_series(0,
+                  (d.n_chars * 10 - 25) // 10)) AS k) gs
+WHERE d.n_chars * 10 >= 25
+"""
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: ``audio_ref`` (a ``.wav`` path or
+    ``file://`` ref) -> per-clip frame features — RMS energy and
+    zero-crossing rate over 25 ms / 10 ms windows, fully vectorized
+    (strided framing, no python loop over frames).  Stereo is
+    downmixed; decode errors become error ROWS (the extract stage's
+    policy).  The mel/model half of a real audio pipeline would slot in
+    after the framing exactly like the OCR engine does after
+    preprocess."""
+
+    def __init__(self, frame_ms: int = 25, hop_ms: int = 10):
+        self.frame_ms = frame_ms
+        self.hop_ms = hop_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.wavcodec import frame_signal, wav_decode
+
+        refs = batch["audio_ref"].to_pylist()
+        out = {
+            "audio_ref": refs,
+            "sample_rate": np.zeros(len(refs), np.int64),
+            "n_samples": np.zeros(len(refs), np.int64),
+            "n_windows": np.zeros(len(refs), np.int64),
+            "rms_mean": np.zeros(len(refs), np.float64),
+            "zcr_mean": np.zeros(len(refs), np.float64),
+            "error": [""] * len(refs),
+        }
+        for i, ref in enumerate(refs):
+            try:
+                path = ref[7:] if ref.startswith("file://") else ref
+                with open(path, "rb") as f:
+                    x, rate = wav_decode(f.read())
+                if x.ndim == 2:
+                    x = x.mean(axis=1)
+                frame = max(1, rate * self.frame_ms // 1000)
+                hop = max(1, rate * self.hop_ms // 1000)
+                fr = frame_signal(np.ascontiguousarray(x), frame, hop)
+                out["sample_rate"][i] = rate
+                out["n_samples"][i] = x.size
+                out["n_windows"][i] = fr.shape[0]
+                if fr.shape[0]:
+                    rms = np.sqrt((fr.astype(np.float64) ** 2).mean(axis=1))
+                    zc = (np.diff(np.signbit(fr), axis=1) != 0).sum(axis=1)
+                    out["rms_mean"][i] = float(rms.mean())
+                    out["zcr_mean"][i] = float((zc / (fr.shape[1] - 1)).mean())
+            except Exception as e:
+                out["error"][i] = f"{type(e).__name__}: {e}"
+        return pa.table(
+            {
+                "audio_ref": pa.array(out["audio_ref"], pa.string()),
+                "sample_rate": pa.array(out["sample_rate"]),
+                "n_samples": pa.array(out["n_samples"]),
+                "n_windows": pa.array(out["n_windows"]),
+                "rms_mean": pa.array(out["rms_mean"]),
+                "zcr_mean": pa.array(out["zcr_mean"]),
+                "error": pa.array(out["error"], pa.string()),
+            }
+        )
+
+
+def extract_audio_features(
+    ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 64
+) -> ray.data.Dataset:
+    """Audio-ref table -> per-clip features via the actor pool."""
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
