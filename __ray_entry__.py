@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": similarity.q_knn_ivf,
         "knn_ivf_recall": similarity.q_knn_ivf_recall,
         "knn_multi": similarity.q_knn_multi,
+        "knn_pq": similarity.q_knn_pq,
+        "knn_pq_recall": similarity.q_knn_pq_recall,
         "label_centroids": similarity.q_label_centroids,
         # multimodal plumbing
         "media_features": multimodal.q_media_features,
@@ -161,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": similarity.Q_KNN_SQL,
         "knn_ivf_recall": similarity.Q_KNN_IVF_RECALL_SQL,
         "knn_multi": similarity.Q_KNN_MULTI_SQL,
+        "knn_pq_recall": similarity.Q_KNN_PQ_RECALL_SQL,
         "label_centroids": similarity.Q_CENTROIDS_SQL,
         "media_features_geometry": multimodal.Q_MEDIA_GEOM_SQL,
         "page_regions_check": multimodal.Q_PAGE_REGIONS_SQL,
@@ -169,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (genuinely non-value-oracle-able): the production
         # probabilistic operators themselves — approx_distinct_users
         # (KMV estimate; bound gated by approx_distinct_check), knn_ivf
-        # (approximate top-k; recall gated by knn_ivf_recall) — and the
-        # geometry-heuristic stages media_features / page_regions.
+        # (approximate top-k; recall gated by knn_ivf_recall), knn_pq
+        # (ADC compressed scan; recall gated by knn_pq_recall) — and
+        # the geometry-heuristic stages media_features / page_regions.
     }

