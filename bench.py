@@ -176,6 +176,30 @@ def run_bench() -> dict:
                 result["scaling"] = json.load(f)
         except ValueError:
             pass
+    # per-query regression call vs the previous round's recorded bench:
+    # the host swings ±25-50% between runs, so only a >1.5x slowdown of
+    # the paired-A/B minimum is called a regression
+    prev_path = os.path.join(REPO, "BENCH_r02.json")
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                raw = json.load(f)
+            # the driver wraps the bench line under "parsed"
+            prev = (raw.get("queries") or raw.get("parsed", {}).get("queries")) or {}
+            calls = {}
+            for name, now in qtimes.items():
+                if name not in prev or not prev[name]:
+                    calls[name] = "new"
+                    continue
+                ratio = now / prev[name]
+                calls[name] = (
+                    "regression" if ratio > 1.5
+                    else "faster" if ratio < 0.67
+                    else "no-regression"
+                )
+            result["vs_r02"] = calls
+        except ValueError:
+            pass
     return result
 
 
