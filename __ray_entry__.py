@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": events.q_rolling_user_value,
         "event_gaps": events.q_event_gaps,
         "user_value_ntiles": events.q_user_value_ntiles,
+        "value_moments": events.q_value_moments,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_user_value": events.Q_ROLLING_SQL,
         "event_gaps": events.Q_EVENT_GAPS_SQL,
         "user_value_ntiles": events.Q_NTILE_SQL,
+        "value_moments": events.Q_MOMENTS_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "lang_id": text_analysis.Q_LANG_ID_SQL,

@@ -530,3 +530,67 @@ SELECT event_id, user_id,
                            ORDER BY value, event_id) AS BIGINT) AS tile
 FROM events
 """
+
+
+def q_value_moments(sf_dir: str) -> ray.data.Dataset:
+    """Per-type mean / population variance / stddev of ``value`` from
+    exact integer moments: per-batch partials carry (n, Σc, Σc²) on the
+    cents grid (int64 — order-independent, overflow-safe to ~3·10⁹ rows
+    of $10⁶ values per partial), one tiny groupby merges them, and the
+    float math happens ONCE at the end — the moments-sketch shape for
+    any algebraic aggregate at 10¹² rows.  The SQL oracle computes the
+    identical (n·Σc² − (Σc)²) / n² expression from the same sums, so
+    even the derived doubles hash-match (DuckDB's own var_pop uses a
+    different summation and would not)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"])
+        c2 = pc.multiply(c, c)
+        tmp = pa.table({"event_type": t["event_type"], "c": c, "c2": c2})
+        return tmp.group_by("event_type").aggregate(
+            [("c", "sum"), ("c2", "sum"), ("c", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("event_type").aggregate(
+        Sum("c_sum", alias_name="s1"),
+        Sum("c2_sum", alias_name="s2"),
+        Sum("c_count", alias_name="n"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t["s1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = t["s2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        var = (n * s2 - s1 * s1) / (n * n) / 10000.0
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "mean_value": pa.array(np.floor(s1 / n) / 100.0),
+                "var_value": pa.array(np.floor(var * 1e6) / 1e6),
+                "std_value": pa.array(np.floor(np.sqrt(var) * 1e6) / 1e6),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q_MOMENTS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS s1,
+         SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       FLOOR(CAST(s1 AS DOUBLE) / n) / 100.0 AS mean_value,
+       FLOOR((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * n) / 10000.0 * 1e6) / 1e6 AS var_value,
+       FLOOR(SQRT((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * n) / 10000.0) * 1e6) / 1e6 AS std_value
+FROM s
+"""
