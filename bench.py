@@ -138,6 +138,10 @@ def run_bench() -> dict:
         "dedup_exact": dedup.q_dedup_exact,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "knn_bruteforce": similarity.q_knn_bruteforce,
+        # round-3 additions (marked "new" in vs_r02)
+        "hopping_window_stats": events.q_hopping_window_stats,
+        "top_tokens_per_lang": text_analysis.q_top_tokens_per_lang,
+        "knn_pq": similarity.q_knn_pq,
     }
     # paired A/B: two interleaved passes over the whole subset in the
     # same session.  The shared host drifts ±25-50% within minutes, so a
