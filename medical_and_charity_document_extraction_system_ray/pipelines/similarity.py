@@ -566,7 +566,6 @@ def q_knn_pq(
     index_dir = build_pq_index(sf_dir, n_sub=n_sub)
     books = np.load(os.path.join(index_dir, "codebooks.npy"))
     q = _fetch_query_vec(sf_dir, query_vec_id)
-    qn = q / np.linalg.norm(q)
     sub = books.shape[2]
     # LUT[j, c] = || q_j - centroid_jc ||^2 on the NORMALIZED query;
     # codes were built on unnormalized vectors, so normalize per-batch
@@ -579,7 +578,6 @@ def q_knn_pq(
         ]
     )  # [n_sub, 256]
     lut_ref = ray.put(lut)
-    del qn
 
     codes_ds = ray.data.read_parquet(
         os.path.join(index_dir, "codes"), columns=["vec_id", "codes"]
