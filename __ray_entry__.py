@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": dedup.q_ngram_jaccard,
         "embedding_neardup": dedup.q_embedding_neardup,
         "embedding_neardup_lsh": dedup.q_embedding_neardup_lsh,
+        "dup_clusters": dedup.q_dup_clusters,
         # similarity search
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "knn_ivf": similarity.q_knn_ivf,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dedup.Q_NGRAM_SQL,
         "embedding_neardup": dedup.Q_EMB_NEARDUP_SQL,
         "embedding_neardup_lsh": dedup.Q_EMB_NEARDUP_LSH_SQL,
+        "dup_clusters": dedup.Q_DUP_CLUSTERS_SQL,
         "knn_bruteforce": similarity.Q_KNN_SQL,
         "knn_ivf_recall": similarity.Q_KNN_IVF_RECALL_SQL,
         "knn_multi": similarity.Q_KNN_MULTI_SQL,

@@ -419,17 +419,19 @@ def q_minhash_lsh_pairs(
             return t.filter(pa.array(mask))
 
         # shuffle-free filtered scan; collected texts bounded by 2x pairs
+        # (drop the zero-column EMPTY marker blocks Ray can emit — they
+        # break concat_tables' schema check)
+        fetched_blocks = [
+            ray.get(r)
+            for bundle in ds.map_batches(
+                fetch, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .materialize()
+            .iter_internal_ref_bundles()
+            for r in bundle.block_refs
+        ]
         fetched = pa.concat_tables(
-            [
-                ray.get(r)
-                for bundle in ds.map_batches(
-                    fetch, batch_format="pyarrow", zero_copy_batch=True
-                )
-                .materialize()
-                .iter_internal_ref_bundles()
-                for r in bundle.block_refs
-                if True
-            ]
+            [b for b in fetched_blocks if b.num_rows and "doc_id" in b.column_names]
         )
         order = np.argsort(fetched["doc_id"].to_numpy(zero_copy_only=False))
         lookup_ids = fetched["doc_id"].to_numpy(zero_copy_only=False)[order]
@@ -1057,3 +1059,120 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.85
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def q_dup_clusters(sf_dir: str, max_iters: int = 25) -> ray.data.Dataset:
+    """Connected components over the MinHash near-dup pair graph — the
+    step that turns pairs into KEEP/DROP decisions (each cluster keeps
+    its min doc_id): every doc appearing in a pair is labeled with its
+    cluster representative.
+
+    Implemented as ITERATIVE min-label propagation over Datasets (the
+    engine's iterative-algorithm shape): labels start as self, each
+    round joins edge endpoints to their neighbor's current label and
+    takes the per-node min, until the label sum reaches a fixpoint
+    (monotone decreasing — convergence in <= graph-diameter rounds,
+    bounded by ``max_iters``).  Every round is a bounded hash join +
+    groupby over the PAIR graph (tiny relative to the corpus: only
+    near-dup members appear), never the documents table.  The DuckDB
+    oracle walks the same graph with a recursive CTE."""
+    pairs = q_minhash_lsh_pairs(sf_dir)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]).astype(np.int64)),
+                "dst": pa.array(np.concatenate([b, a]).astype(np.int64)),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema([("doc_id", pa.int64()), ("cluster_rep", pa.int64())])
+            .empty_table()
+        )
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["src"])
+        return pa.table({"node": u, "label": u})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .repartition(2)
+        .map_batches(
+            _with_schema(pa.schema([("node", pa.int64()), ("label", pa.int64())])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def label_sum(ds) -> int:
+        from ray.data.aggregate import Sum as _Sum
+
+        row = ds.groupby(None).aggregate(_Sum("label", alias_name="s")).take(1)
+        return int(row[0]["s"]) if row else 0
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iters):
+        # neighbor labels: edge (src, dst) joined to dst's label
+        nbr = edges.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["dst", "label"]), batch_format="pyarrow"
+            ),
+            join_type="inner", num_partitions=2, on=("dst",),
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": pc.cast(t["src"], pa.int64()),
+                 "label": pc.cast(t["label"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(nbr)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(2)
+            .map_batches(
+                _with_schema(pa.schema([("node", pa.int64()), ("label", pa.int64())])),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        s = label_sum(labels)
+        if s == prev_sum:  # fixpoint: min-labels can only decrease
+            break
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["node"], "cluster_rep": t["label"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_DUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE base AS (" + Q_MINHASH_SQL + """),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM base
+  UNION
+  SELECT doc_b, doc_a FROM base
+),
+walk(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN e ON w.b = e.a WHERE e.b <> w.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep
+FROM walk GROUP BY a
+"""
+)

@@ -139,18 +139,20 @@ def build_ivf_index(
         # to the driver (the driver only receives ~sample_size rows)
         return t.take(np.arange(0, len(t), stride))
 
+    sample_blocks = ray.get(
+        [
+            ref
+            for bundle in ds.map_batches(
+                strided, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .materialize()
+            .iter_internal_ref_bundles()
+            for ref in bundle.block_refs
+        ]
+    )
+    # drop zero-column empty marker blocks before the schema-checked concat
     sample_tbl = pa.concat_tables(
-        ray.get(
-            [
-                ref
-                for bundle in ds.map_batches(
-                    strided, batch_format="pyarrow", zero_copy_batch=True
-                )
-                .materialize()
-                .iter_internal_ref_bundles()
-                for ref in bundle.block_refs
-            ]
-        )
+        [b for b in sample_blocks if b.num_rows and "vec_id" in b.column_names]
     )
     _, sample_mat = _matrix(sample_tbl)
     centroids = _kmeans(sample_mat, nlist=nlist)
@@ -487,18 +489,20 @@ def build_pq_index(
     def strided(t: pa.Table) -> pa.Table:
         return t.take(np.arange(0, len(t), stride))
 
+    sample_blocks = ray.get(
+        [
+            ref
+            for bundle in ds.map_batches(
+                strided, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .materialize()
+            .iter_internal_ref_bundles()
+            for ref in bundle.block_refs
+        ]
+    )
+    # drop zero-column empty marker blocks before the schema-checked concat
     sample_tbl = pa.concat_tables(
-        ray.get(
-            [
-                ref
-                for bundle in ds.map_batches(
-                    strided, batch_format="pyarrow", zero_copy_batch=True
-                )
-                .materialize()
-                .iter_internal_ref_bundles()
-                for ref in bundle.block_refs
-            ]
-        )
+        [b for b in sample_blocks if b.num_rows and "vec_id" in b.column_names]
     )
     _, sample = _matrix(sample_tbl)
     dim = sample.shape[1]

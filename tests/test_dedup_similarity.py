@@ -403,3 +403,47 @@ def test_knn_pq_planted_cluster(tmp_path):
     assert top.equals(top2)
     gate = q_knn_pq_recall(sf, query_vec_id=0, k=6).to_pylist()[0]
     assert gate["recall_ok"]
+
+
+def test_dup_clusters_planted(dup_corpus):
+    """Label propagation resolves the planted pairs into clusters with
+    min-id representatives."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_dup_clusters,
+    )
+
+    df = q_dup_clusters(dup_corpus).to_pandas().set_index("doc_id")
+    assert df.loc[0, "cluster_rep"] == 0
+    assert df.loc[100, "cluster_rep"] == 0   # exact dup joins doc 0's cluster
+    assert df.loc[1, "cluster_rep"] == 1
+    assert df.loc[101, "cluster_rep"] == 1   # near dup joins doc 1's cluster
+
+
+def test_dup_clusters_chain_transitivity(tmp_path):
+    """A near-dup CHAIN A~B~C (A and C not directly paired) must
+    collapse to ONE cluster — the property pairs alone don't give."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_dup_clusters,
+    )
+
+    words = BASE.split()
+    rows = []
+    # A=0: base; B=1: one word changed; C=2: two words changed (still
+    # >=0.5 jaccard to B but further from A)
+    t = list(words)
+    rows.append({"doc_id": 0, "text": " ".join(t), "lang": "en",
+                 "source": "s", "n_chars": 1})
+    t[5] = "temple"
+    rows.append({"doc_id": 1, "text": " ".join(t), "lang": "en",
+                 "source": "s", "n_chars": 1})
+    t[20] = "clinic"
+    rows.append({"doc_id": 2, "text": " ".join(t), "lang": "en",
+                 "source": "s", "n_chars": 1})
+    # unrelated doc stays out
+    rows.append({"doc_id": 9, "text": "totally different content here now",
+                 "lang": "en", "source": "s", "n_chars": 1})
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    df = q_dup_clusters(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert set(df.index) >= {0, 1, 2}
+    assert df.loc[[0, 1, 2], "cluster_rep"].eq(0).all()  # one transitive cluster
+    assert 9 not in df.index
