@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text_analysis.q_lang_id,
         "fingerprints": text_analysis.q_fingerprints,
         "top_tokens_per_lang": text_analysis.q_top_tokens_per_lang,
+        "tfidf_top_terms": text_analysis.q_tfidf_top_terms,
         # sketches
         "distinct_users_exact": sketches.q_distinct_users_exact,
         "approx_distinct_users": sketches.q_approx_distinct_users,
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text_analysis.Q_LANG_ID_SQL,
         "fingerprints": text_analysis.Q_FINGERPRINTS_SQL,
         "top_tokens_per_lang": text_analysis.Q_TOP_TOKENS_SQL,
+        "tfidf_top_terms": text_analysis.Q_TFIDF_SQL,
         "distinct_users_exact": sketches.Q_DISTINCT_USERS_SQL,
         "approx_distinct_check": sketches.Q_APPROX_DISTINCT_CHECK_SQL,
         "hist_quantiles": sketches.Q_HIST_QUANTILES_SQL,

@@ -339,3 +339,120 @@ WITH toks AS (
 SELECT lang, token, n FROM counts
 QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (keyword extraction)
+# ---------------------------------------------------------------------------
+
+def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Top-k TF-IDF terms per document (score DESC, token ASC
+    tie-break) — the keyword-extraction primitive.
+
+    Two passes, both shuffle-light: (1) document frequencies via
+    per-batch DISTINCT (doc, token) explode + groupby count — the DF
+    table is vocabulary-sized and broadcast via ``ray.put`` (at 100 TB
+    vocab scale swap the broadcast for a hash join on token); (2) per
+    batch: Arrow group_by counts tf per (row, token) locally — a doc's
+    tokens never leave its batch — idf lookup, score on the 1e-6 floor
+    grid, vectorized per-row top-k by run position.  ``ln`` parity
+    holds because numpy and DuckDB call the same libm double log."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        doc = t["doc_id"].combine_chunks().take(parent)
+        tmp = pa.table({"doc_id": doc, "token": flat})
+        return tmp.filter(pc.not_equal(tmp["token"], ""))
+
+    # pass 1: document frequency (distinct doc per token)
+    def local_distinct(t: pa.Table) -> pa.Table:
+        g = doc_tokens(t)
+        return g.group_by(["doc_id", "token"]).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    df_tbl = pa.concat_tables(
+        b
+        for b in (
+            ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("token")
+            .aggregate(Count(alias_name="df"))
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        if b.num_rows and "token" in b.column_names
+    )
+    vocab = df_tbl["token"].to_pylist()
+    idf = np.log(n_docs / df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.float64))
+    idf_ref = ray.put(dict(zip(vocab, idf)))
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("token", pa.string()), ("score", pa.float64())]
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        lookup = ray.get(idf_ref)
+        tf = (
+            doc_tokens(t)
+            .group_by(["doc_id", "token"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "token", "n"])
+            .combine_chunks()
+        )
+        if tf.num_rows == 0:
+            return out_schema.empty_table()
+        toks = tf["token"].to_pylist()
+        idfs = np.fromiter((lookup[x] for x in toks), dtype=np.float64, count=len(toks))
+        score = np.floor(
+            tf["n"].to_numpy(zero_copy_only=False).astype(np.float64) * idfs * 1e6
+        ) / 1e6
+        tf = tf.append_column("score", pa.array(score))
+        order = pc.sort_indices(
+            tf,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("score", "descending"),
+                ("token", "ascending"),
+            ],
+        )
+        srt = tf.take(order)
+        docs = srt["doc_id"].to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], docs[1:] != docs[:-1]])
+        run_start = np.maximum.accumulate(np.where(first, np.arange(docs.size), 0))
+        keep = (np.arange(docs.size) - run_start) < k
+        out = srt.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": pc.cast(out["doc_id"], pa.int64()),
+                "token": out["token"],
+                "score": out["score"],
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS n FROM toks WHERE token <> ''
+  GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks WHERE token <> ''
+  GROUP BY 1
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token,
+       FLOOR(tf.n * ln(CAST(n_docs AS DOUBLE) / df.df) * 1e6) / 1e6 AS score
+FROM tf JOIN df USING (token), nd
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY FLOOR(tf.n * ln(CAST(n_docs AS DOUBLE) / df.df)
+                                          * 1e6) / 1e6 DESC, token) <= 3
+"""
