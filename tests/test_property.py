@@ -84,3 +84,65 @@ def test_classifier_vectorized_matches_oracle(doclists):
     got = classify_batch(table).column("is_scanned").to_pylist()
     want = [classify_document(d["spans"]) for d in docs]
     assert got == want
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([60, 80, 95, 100]),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_decoder_total_on_random_images(h, w, seed, quality):
+    """Any uint8 image en/decodes without error, right shape, and the
+    reconstruction error is bounded by the quantization scale."""
+    from medical_and_charity_document_extraction_system_ray.sources.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=quality))
+    assert out.shape == (h, w) and out.dtype == np.uint8
+    if quality == 100 and h >= 8 and w >= 8:
+        # near-lossless at q100 on interior content
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 12
+
+
+@given(
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from(["none", "packbits", "lzw"]),
+    st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_tiff_roundtrip_exact_on_random_images(h, w, seed, comp, predictor):
+    from medical_and_charity_document_extraction_system_ray.sources.tiffcodec import (
+        tiff_decode,
+        tiff_encode,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    out = tiff_decode(tiff_encode(img, compression=comp, predictor=predictor))
+    np.testing.assert_array_equal(out, img)
+
+
+@given(
+    st.integers(min_value=1, max_value=4000),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([1, 2]),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_bounded_error(n, seed, channels):
+    from medical_and_charity_document_extraction_system_ray.sources.wavcodec import (
+        wav_decode,
+        wav_encode,
+    )
+
+    x = np.random.default_rng(seed).uniform(-1, 1, (n, channels)).astype(np.float32)
+    if channels == 1:
+        x = x[:, 0]
+    out, rate = wav_decode(wav_encode(x, 8000))
+    assert rate == 8000 and out.shape == x.shape
+    assert np.abs(out - x).max() <= 1.5 / 32768  # 16-bit quantization bound
