@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customer_per_nation": relational.q_top_customer_per_nation,
         "orders_above_cust_avg": relational.q_orders_above_cust_avg,
         "bloom_brand_revenue": relational.q_bloom_brand_revenue,
+        "price_qty_correlation": relational.q_price_qty_correlation,
         # stream-shaped
         "hourly_event_stats": events.q_hourly_event_stats,
         "sessionize": events.q_sessionize,
@@ -143,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customer_per_nation": relational.Q_ARGMAX_SQL,
         "orders_above_cust_avg": relational.Q_ABOVE_AVG_SQL,
         "bloom_brand_revenue": relational.Q_BLOOM_SQL,
+        "price_qty_correlation": relational.Q_CORR_SQL,
         "running_user_value": events.Q_RUNNING_SQL,
         "user_event_ranks": events.Q_RANKS_SQL,
         "hopping_window_stats": events.Q_HOPPING_SQL,

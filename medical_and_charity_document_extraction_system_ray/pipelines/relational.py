@@ -987,3 +987,96 @@ SELECT SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#23'
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-column cross-moments: covariance + Pearson correlation per group
+# ---------------------------------------------------------------------------
+
+def q_price_qty_correlation(sf_dir: str) -> ray.data.Dataset:
+    """Population covariance and Pearson r between l_quantity and
+    l_extendedprice per return flag — the two-column extension of the
+    moments sketch: per-batch partials carry exact integer
+    (n, Σx, Σy, Σx², Σy², Σxy) on the cents grid, one tiny groupby
+    merges them, floats happen once at the end.  The oracle computes
+    the identical expressions from the same sums, so the derived
+    doubles hash-match."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _cents(t["l_quantity"])
+        y = _cents(t["l_extendedprice"])
+        tmp = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+                "xy": pc.multiply(x, y),
+            }
+        )
+        return tmp.group_by("l_returnflag").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"),
+             ("xy", "sum"), ("x", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("l_returnflag").aggregate(
+        Sum("x_sum", alias_name="sx"),
+        Sum("y_sum", alias_name="sy"),
+        Sum("xx_sum", alias_name="sxx"),
+        Sum("yy_sum", alias_name="syy"),
+        Sum("xy_sum", alias_name="sxy"),
+        Sum("x_count", alias_name="n"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = t["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cov = (n * sxy - sx * sy) / (n * n) / 10000.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = (n * sxy - sx * sy) / np.sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy)
+            )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "cov_qty_price": pa.array(np.floor(cov * 1e6) / 1e6),
+                "corr_qty_price": pa.array(np.floor(r * 1e6) / 1e6),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q_CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS sx,
+         SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sy,
+         SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS sxx,
+         SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS syy,
+         SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       FLOOR((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * n) / 10000.0 * 1e6) / 1e6 AS cov_qty_price,
+       FLOOR((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1e6) / 1e6 AS corr_qty_price
+FROM s
+"""

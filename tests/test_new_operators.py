@@ -91,6 +91,35 @@ def test_bloom_no_false_negatives_and_low_fp():
     assert fp < 0.01  # 16 bits/key, k=4 -> ~0.2% expected
 
 
+def test_price_qty_correlation_semantics(tmp_path):
+    """Perfectly linear group -> r == 1.0 exactly (integer-sum identity
+    survives float64); cov matches the population formula."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.relational import (
+        q_price_qty_correlation,
+    )
+
+    tbl = pa.table(
+        {
+            "l_returnflag": pa.array(["A"] * 3 + ["B"] * 3),
+            "l_quantity": pa.array([1.0, 2.0, 3.0, 1.0, 2.0, 3.0]),
+            # group A: price = 2*qty (r=1); group B: decorrelated
+            "l_extendedprice": pa.array([2.0, 4.0, 6.0, 5.0, 1.0, 3.0]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    out = (
+        q_price_qty_correlation(str(tmp_path))
+        .to_pandas()
+        .set_index("l_returnflag")
+    )
+    assert out.loc["A", "corr_qty_price"] == 1.0
+    # population cov of [1,2,3] vs [2,4,6] = 4/3, floored to the 1e-6 grid
+    assert out.loc["A", "cov_qty_price"] == np.floor(4 / 3 * 1e6) / 1e6
+    # group B: cov = mean(xy)-mx*my = (5+2+9)/3 - 2*3 = 16/3-6 = -2/3
+    assert out.loc["B", "cov_qty_price"] == np.floor(-2 / 3 * 1e6) / 1e6
+    assert -1.0 <= out.loc["B", "corr_qty_price"] < 0.0
+
+
 def test_hist_quantiles_within_bin_error():
     from medical_and_charity_document_extraction_system_ray.pipelines.sketches import (
         HIST_BINS,
