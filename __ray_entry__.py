@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": events.q_event_gaps,
         "user_value_ntiles": events.q_user_value_ntiles,
         "value_moments": events.q_value_moments,
+        "watermark_window_stats": events.q_watermark_window_stats,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps": events.Q_EVENT_GAPS_SQL,
         "user_value_ntiles": events.Q_NTILE_SQL,
         "value_moments": events.Q_MOMENTS_SQL,
+        "watermark_window_stats": events.Q_WATERMARK_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "lang_id": text_analysis.Q_LANG_ID_SQL,

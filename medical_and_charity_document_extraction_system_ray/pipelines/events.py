@@ -14,7 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..sources.readers import read_table
 from .relational import _cents
@@ -593,4 +593,182 @@ SELECT event_type, n,
        FLOOR(SQRT((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
              / (CAST(n AS DOUBLE) * n) / 10000.0) * 1e6) / 1e6 AS std_value
 FROM s
+"""
+
+
+def q_watermark_window_stats(
+    sf_dir: str,
+    jitter_seconds: int = 3600,
+    delay_seconds: int = 900,
+    bucket_hours: int = 6,
+) -> ray.data.Dataset:
+    """Bounded-out-of-orderness watermark semantics (Flink-style) over a
+    simulated arrival stream: each event's *arrival* time is its event
+    time plus a deterministic hash jitter in [0, jitter) seconds, the
+    watermark after each arrival is ``max(event time seen so far) −
+    delay``, and an event is LATE (dropped) if its event time is behind
+    the watermark at its own arrival.  Output: per tumbling 1-hour
+    event-time window, kept/late counts and the kept-value sum.
+
+    Distributed prefix-max shape (no global sort): arrivals are range-
+    bucketed by ``arrival // bucket``, pass A is a column-pruned scan
+    producing ONE max-ts row per bucket (the only driver-side collect —
+    #buckets = time-span/bucket, independent of row count), the
+    exclusive prefix max per bucket is broadcast via ``ray.put``, and
+    pass B resolves exact per-event watermarks inside each bucket group
+    with one ``np.maximum.accumulate``.  The per-event late flags
+    collapse to (window, kept/late) partials inside the group, so the
+    final shuffle moves only window rows.  Partitioning assumption:
+    one arrival-time bucket fits a group (size ``bucket_hours`` by the
+    corpus's event rate — shrink it for denser streams)."""
+    jit_us = 1_000_000
+    bucket_us = bucket_hours * 3600 * 1_000_000
+    win_us = 3600 * 1_000_000
+    delay_us = delay_seconds * 1_000_000
+    # Knuth multiplicative hash, reduced mod jitter.  Computed as
+    # ((id % m) * (K % m)) % m so int64 never overflows; DuckDB runs the
+    # direct HUGEINT form — identical by modular arithmetic.
+    kmod = 2654435761 % jitter_seconds
+
+    def _arrival(eid: np.ndarray, ts_us: np.ndarray) -> np.ndarray:
+        return ts_us + ((eid % jitter_seconds) * kmod) % jitter_seconds * jit_us
+
+    # ---- pass A: per-bucket max event time (column-pruned light scan)
+    ds_a = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def bucket_max(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        bucket = _arrival(eid, ts_us) // bucket_us
+        tmp = pa.table({"bucket": pa.array(bucket), "ts_us": pa.array(ts_us)})
+        return tmp.group_by("bucket").aggregate([("ts_us", "max")])
+
+    per_bucket = (
+        ds_a.map_batches(bucket_max, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Max("ts_us_max", alias_name="mx"))
+        .to_pandas()  # tiny: one row per bucket_hours of stream time
+    )
+    order = np.argsort(per_bucket["bucket"].to_numpy())
+    b_ids = per_bucket["bucket"].to_numpy()[order]
+    b_max = per_bucket["mx"].to_numpy()[order]
+    # exclusive prefix max: carry[i] = max ts over all earlier buckets
+    carry = np.concatenate(
+        [[np.int64(-(2**62))], np.maximum.accumulate(b_max)[:-1]]
+    )
+    carry_ref = ray.put((b_ids, carry))
+
+    # ---- pass B: exact watermark inside each bucket + window partials
+    ds_b = read_table(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        arrival = _arrival(eid, ts_us)
+        return pa.table(
+            {
+                "bucket": pa.array(arrival // bucket_us),
+                "arrival_us": pa.array(arrival),
+                "event_id": t["event_id"],
+                "ts_us": pa.array(ts_us),
+                "value_c": _cents(t["value"]),
+            }
+        )
+
+    part_schema = pa.schema(
+        [
+            ("window_us", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("n_late", pa.int64()),
+            ("kept_c", pa.int64()),
+        ]
+    )
+
+    def bucket_windows(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return part_schema.empty_table()
+        b_ids_l, carry_l = ray.get(carry_ref)
+        outs = []
+        for bkt, grp in g.groupby("bucket", sort=True):
+            o = np.lexsort((grp["event_id"].to_numpy(), grp["arrival_us"].to_numpy()))
+            ts = grp["ts_us"].to_numpy()[o]
+            cents = grp["value_c"].to_numpy()[o]
+            c_in = carry_l[np.searchsorted(b_ids_l, bkt)]
+            wm = np.maximum(np.maximum.accumulate(ts), c_in) - delay_us
+            late = ts < wm
+            win = (ts // win_us) * win_us
+            uw, inv = np.unique(win, return_inverse=True)
+            n_late = np.zeros(uw.size, dtype=np.int64)
+            np.add.at(n_late, inv[late], 1)
+            n_kept = np.zeros(uw.size, dtype=np.int64)
+            np.add.at(n_kept, inv[~late], 1)
+            kept_c = np.zeros(uw.size, dtype=np.int64)
+            np.add.at(kept_c, inv[~late], cents[~late])
+            outs.append((uw, n_kept, n_late, kept_c))
+        return pa.table(
+            {
+                "window_us": pa.array(np.concatenate([o[0] for o in outs])),
+                "n_kept": pa.array(np.concatenate([o[1] for o in outs])),
+                "n_late": pa.array(np.concatenate([o[2] for o in outs])),
+                "kept_c": pa.array(np.concatenate([o[3] for o in outs])),
+            },
+            schema=part_schema,
+        )
+
+    partials = (
+        ds_b.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_windows, batch_format="pandas")
+    )
+    agg = partials.groupby("window_us").aggregate(
+        Sum("n_kept", alias_name="n_kept"),
+        Sum("n_late", alias_name="n_late"),
+        Sum("kept_c", alias_name="kept_c"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.cast(t["window_us"], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_kept": pc.cast(t["n_kept"], pa.int64()),
+                "n_late": pc.cast(t["n_late"], pa.int64()),
+                "sum_value_kept": pc.divide(
+                    pc.cast(t["kept_c"], pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q_WATERMARK_SQL = """
+WITH a AS (
+  SELECT ts, value,
+         epoch_us(ts)
+           + ((CAST(event_id AS HUGEINT) * 2654435761) % 3600) * 1000000
+           AS arrival_us,
+         event_id
+  FROM events
+), w AS (
+  SELECT ts, value,
+         MAX(ts) OVER (ORDER BY arrival_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS max_ts
+  FROM a
+), f AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+           AS window_start,
+         (epoch_us(ts) < epoch_us(max_ts) - 900000000) AS late,
+         value
+  FROM w
+)
+SELECT window_start,
+       CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN late THEN 0
+                     ELSE CAST(FLOOR(value*100 + 0.5) AS BIGINT) END)
+            AS BIGINT) / 100.0 AS sum_value_kept
+FROM f GROUP BY window_start
 """

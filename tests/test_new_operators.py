@@ -136,3 +136,61 @@ def test_hist_quantiles_within_bin_error():
     for q in (0.25, 0.5, 0.9):
         exact = np.sort(cents)[int(np.ceil(q * cents.size)) - 1] / 100.0
         assert abs(est[q] - exact) <= width / 100.0  # one-bin bound
+
+
+def test_watermark_lateness_and_bucket_carry(tmp_path):
+    """Watermark semantics vs a brute-force sequential reference, with
+    bucket_hours=1 so lateness must flow across arrival buckets through
+    the broadcast prefix-max carry (eid 15's ts=t0+3500 lands in bucket
+    0 but outdates eid 2, which arrives in bucket 1)."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_watermark_window_stats,
+    )
+
+    t0 = 1_700_000_000
+    eids = np.array([0, 3, 4, 7, 15, 2, 1, 8], np.int64)
+    ts_s = np.array(
+        [t0 + 1000, t0, t0 + 50, t0 + 400, t0 + 3500,
+         t0 + 2500, t0 + 2 * 3600, t0 + 2 * 3600 - 2000],
+        np.int64,
+    )
+    vals = np.arange(1.0, len(eids) + 1.0)
+    n = len(eids)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eids),
+            "ts": pa.array(ts_s * 1_000_000).view(pa.timestamp("us")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = (
+        q_watermark_window_stats(str(tmp_path), bucket_hours=1)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+
+    # brute-force sequential reference (global arrival order)
+    jitter = (eids * 2654435761) % 3600
+    arrival = ts_s + jitter
+    order = np.lexsort((eids, arrival))
+    seen_max = -(2**62)
+    ref = {}
+    for i in order:
+        seen_max = max(seen_max, ts_s[i])
+        late = ts_s[i] < seen_max - 900
+        w = (ts_s[i] // 3600) * 3600
+        k, l, s = ref.get(w, (0, 0, 0.0))
+        ref[w] = (k + (not late), l + late, s + (0.0 if late else vals[i]))
+    assert out["n_late"].sum() >= 2  # fixture really exercises lateness
+    assert len(out) == len(ref)
+    for _, row in out.iterrows():
+        w = row["window_start"].value // 1_000_000_000  # ns -> s
+        k, l, s = ref[w]
+        assert (row["n_kept"], row["n_late"]) == (k, l)
+        assert abs(row["sum_value_kept"] - s) < 1e-9
