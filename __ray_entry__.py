@@ -28,6 +28,7 @@ from medical_and_charity_document_extraction_system_ray.pipelines import (
     similarity,
     sketches,
     text_analysis,
+    training_prep,
 )
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -86,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": text_analysis.q_fingerprints,
         "top_tokens_per_lang": text_analysis.q_top_tokens_per_lang,
         "tfidf_top_terms": text_analysis.q_tfidf_top_terms,
+        # training-data preparation
+        "chunk_plan": training_prep.q_chunk_plan,
+        "pack_plan": training_prep.q_pack_plan,
+        "decontaminate": training_prep.q_decontaminate,
         # sketches
         "distinct_users_exact": sketches.q_distinct_users_exact,
         "approx_distinct_users": sketches.q_approx_distinct_users,
@@ -160,6 +165,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": text_analysis.Q_FINGERPRINTS_SQL,
         "top_tokens_per_lang": text_analysis.Q_TOP_TOKENS_SQL,
         "tfidf_top_terms": text_analysis.Q_TFIDF_SQL,
+        "chunk_plan": training_prep.Q_CHUNK_SQL,
+        "pack_plan": training_prep.Q_PACK_SQL,
+        "decontaminate": training_prep.Q_DECON_SQL,
         "distinct_users_exact": sketches.Q_DISTINCT_USERS_SQL,
         "approx_distinct_check": sketches.Q_APPROX_DISTINCT_CHECK_SQL,
         "hist_quantiles": sketches.Q_HIST_QUANTILES_SQL,

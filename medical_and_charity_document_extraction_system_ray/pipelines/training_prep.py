@@ -1,0 +1,329 @@
+"""Training-data preparation operators over the ``documents`` table.
+
+The reference system stops at span extraction (its product path ends in
+JSON results, SURVEY.md §2.6); a 100 TB training-data pipeline needs the
+next stages too: chunking documents into model-window pieces, packing
+chunks into fixed token budgets, and decontaminating the corpus against
+a benchmark set.  All three are expressed as vectorized ``map_batches``
+stages (token explode = Arrow split + numpy gather; no per-row Python in
+the hot path) and every operator is value-oracled against DuckDB.
+
+Scale notes (100 TB):
+- chunking is embarrassingly parallel — zero shuffles, output streams.
+- packing shuffles one (source, doc_id, n_tokens) row per document
+  (~24 B), never the text; the pack assignment is a per-source running
+  sum, i.e. the same keyed-window shape as ``events.q_running_user_value``.
+- decontamination broadcasts the *benchmark* n-gram set (the small side
+  by construction — benchmarks are a fixed, curated corpus) via
+  ``ray.put``; the 100 TB side streams through a membership probe.  If
+  the benchmark set outgrew worker memory, swap the broadcast for a hash
+  join on the n-gram string (same partials, one shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..sources.readers import read_table
+
+__all__ = [
+    "q_chunk_plan",
+    "q_pack_plan",
+    "q_decontaminate",
+    "Q_CHUNK_SQL",
+    "Q_PACK_SQL",
+    "Q_DECON_SQL",
+]
+
+
+def _tokens_flat(text_col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Whitespace-token explode: returns ``(flat_tokens, parent_row,
+    n_tokens_per_row)`` with empty tokens dropped (parity with the SQL
+    ``list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')``)."""
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text_col), r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    flat = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    n_rows = len(text_col)
+    n_tok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+    return flat, parent, n_tok
+
+
+def _grouped_arange(counts: np.ndarray) -> np.ndarray:
+    """``concatenate([arange(c) for c in counts])`` without the loop."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+# ---------------------------------------------------------------------------
+# Chunking: fixed token windows with stride (overlapping model chunks)
+# ---------------------------------------------------------------------------
+
+def q_chunk_plan(sf_dir: str, window: int = 32, stride: int = 24) -> ray.data.Dataset:
+    """Split every document into ``window``-token chunks at ``stride``
+    offsets (overlap = window - stride) — the pre-tokenization chunking
+    step of an LLM training pipeline.
+
+    Fully vectorized per batch: one Arrow regex split, numpy gather
+    indices for every chunk's tokens at once, one ``ListArray`` +
+    ``binary_join`` to materialize chunk texts.  No shuffle; the op
+    streams at any corpus size.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        flat, _parent, n_tok = _tokens_flat(t["text"])
+        doc_off = np.cumsum(n_tok) - n_tok  # first flat index per row
+        n_chunks = -(-n_tok // stride)  # ceil; 0 tokens -> 0 chunks
+        row_idx = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_chunks)
+        chunk_idx = _grouped_arange(n_chunks)
+        start = chunk_idx * stride
+        chunk_len = np.minimum(window, n_tok[row_idx] - start)
+        # global token indices for every chunk, one flat gather
+        tok_idx = np.repeat(doc_off[row_idx] + start, chunk_len) + _grouped_arange(chunk_len)
+        values = flat.take(pa.array(tok_idx))
+        offsets = np.concatenate([[0], np.cumsum(chunk_len)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
+        chunk_text = pc.binary_join(lists, " ")
+        doc_ids = t["doc_id"].combine_chunks().take(pa.array(row_idx))
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+                "chunk_text": chunk_text,
+                "n_tokens": pa.array(chunk_len, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_CHUNK_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+), ex AS (
+  SELECT doc_id, tk, UNNEST(range(0, greatest(len(tk), 0), 24)) AS s
+  FROM tk
+)
+SELECT doc_id,
+       s // 24 AS chunk_idx,
+       array_to_string(list_slice(tk, s + 1, s + 32), ' ') AS chunk_text,
+       least(32, len(tk) - s) AS n_tokens
+FROM ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: contiguous token-budget bins per source shard
+# ---------------------------------------------------------------------------
+
+def q_pack_plan(sf_dir: str, budget: int = 256) -> ray.data.Dataset:
+    """Pack documents (ordered by doc_id within each ``source`` shard)
+    into contiguous token-budget bins: a document's pack is
+    ``floor(tokens_before_it / budget)`` — the deterministic
+    offset-based packing plan used before sequence concatenation.
+
+    Shuffle moves one ``(source, doc_id, n_tokens)`` row per document;
+    text never leaves the scan batch.  The per-source running sum runs
+    inside ``map_groups`` on numpy (same keyed-window shape as
+    ``events.q_running_user_value``).
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        _flat, _parent, n_tok = _tokens_flat(t["text"])
+        return pa.table(
+            {
+                "source": t["source"],
+                "doc_id": t["doc_id"],
+                "nt": pa.array(n_tok, type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("pack_id", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("pack_tokens", pa.int64()),
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+        ]
+    )
+
+    def pack(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "source" not in g.column_names:
+            return out_schema.empty_table()
+        g = g.combine_chunks()
+        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        doc = g["doc_id"].take(order).to_numpy(zero_copy_only=False)
+        nt = g["nt"].take(order).to_numpy(zero_copy_only=False)
+        cum_before = np.cumsum(nt) - nt
+        pack_id = cum_before // budget
+        # pack_id is non-decreasing -> reduce over runs
+        starts = np.nonzero(np.concatenate([[True], pack_id[1:] != pack_id[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [pack_id.size]])
+        sums = np.add.reduceat(nt, starts)
+        return pa.table(
+            {
+                "source": pa.array([g["source"][0].as_py()] * starts.size),
+                "pack_id": pa.array(pack_id[starts], type=pa.int64()),
+                "n_docs": pa.array(ends - starts, type=pa.int64()),
+                "pack_tokens": pa.array(sums, type=pa.int64()),
+                "first_doc": pa.array(doc[starts], type=pa.int64()),
+                "last_doc": pa.array(doc[ends - 1], type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return rows.groupby("source").map_groups(pack, batch_format="pyarrow")
+
+
+Q_PACK_SQL = r"""
+WITH n AS (
+  SELECT source, doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS nt
+  FROM documents
+), c AS (
+  SELECT source, doc_id, nt,
+         COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM n
+)
+SELECT source, CAST(cb // 256 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c
+GROUP BY source, cb // 256
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: word n-gram overlap against a held-out set
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(sf_dir: str, n: int = 4, holdout_mod: int = 97) -> ray.data.Dataset:
+    """Flag training documents that share any word ``n``-gram with the
+    benchmark set (here: ``doc_id % holdout_mod == 0`` stands in for the
+    curated eval corpus).  Output is one row per *training* doc with its
+    distinct-hit count — stable schema even when nothing is contaminated.
+
+    The benchmark n-gram set is collected once (distinct per batch, then
+    a driver-side distinct — bounded by the benchmark corpus, which is
+    small by construction) and broadcast via ``ray.put``; training docs
+    stream through an Arrow ``is_in`` membership probe.  At a benchmark
+    set too big to broadcast, replace the probe with a hash join on the
+    n-gram string (same per-batch distinct partials, one shuffle).
+    """
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _ngrams(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
+        """(flat n-gram strings, parent row index) per batch."""
+        flat, _parent, n_tok = _tokens_flat(t["text"])
+        doc_off = np.cumsum(n_tok) - n_tok
+        n_grams = np.maximum(n_tok - (n - 1), 0)
+        row_idx = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_grams)
+        start = _grouped_arange(n_grams)
+        tok_idx = (np.repeat(doc_off[row_idx] + start, n) +
+                   np.tile(np.arange(n, dtype=np.int64), int(n_grams.sum())))
+        values = flat.take(pa.array(tok_idx))
+        offsets = np.arange(0, (int(n_grams.sum()) + 1) * n, n, dtype=np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
+        return pc.binary_join(lists, " "), row_idx
+
+    def is_bench(t: pa.Table) -> pa.Array:
+        # no modulo kernel in this pyarrow: one zero-ish-copy numpy round-trip
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.array(ids % holdout_mod == 0)
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        t = t.filter(is_bench(t))
+        g, _rows = _ngrams(t)
+        return pa.table({"g": pc.unique(g)})
+
+    bench = pa.concat_tables(
+        b for b in read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(bench_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    )
+    bench_set = pc.unique(bench["g"]) if bench.num_rows else pa.array([], type=pa.string())
+    bench_ref = ray.put(bench_set)
+
+    class Probe:
+        def __init__(self) -> None:
+            self.bench: pa.Array = ray.get(bench_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.invert(is_bench(t)))
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], type=pa.int64()),
+                        "n_hits": pa.array([], type=pa.int64()),
+                        "contaminated": pa.array([], type=pa.bool_()),
+                    }
+                )
+            g, row_idx = _ngrams(t)
+            hit = pc.is_in(g, value_set=self.bench).to_numpy(zero_copy_only=False)
+            n_hits = np.zeros(t.num_rows, dtype=np.int64)
+            if hit.any():
+                # distinct contaminated grams per doc: unique (row, gram)
+                hg = g.take(pa.array(np.nonzero(hit)[0]))
+                hr = row_idx[hit]
+                tmp = pa.table({"r": pa.array(hr), "g": hg})
+                d = tmp.group_by(["r", "g"]).aggregate([])
+                np.add.at(n_hits, d["r"].to_numpy(zero_copy_only=False), 1)
+            return pa.table(
+                {
+                    "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                    "n_hits": pa.array(n_hits, type=pa.int64()),
+                    "contaminated": pa.array(n_hits > 0),
+                }
+            )
+
+    return ds.map_batches(Probe, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4))
+
+
+Q_DECON_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+), bg AS (
+  SELECT DISTINCT array_to_string(list_slice(tk, i + 1, i + 4), ' ') AS g
+  FROM (SELECT tk, UNNEST(range(0, greatest(len(tk) - 3, 0))) AS i
+        FROM tk WHERE doc_id % 97 = 0)
+), dg AS (
+  SELECT doc_id, array_to_string(list_slice(tk, i + 1, i + 4), ' ') AS g
+  FROM (SELECT doc_id, tk, UNNEST(range(0, greatest(len(tk) - 3, 0))) AS i
+        FROM tk WHERE doc_id % 97 <> 0)
+), hits AS (
+  SELECT doc_id, COUNT(DISTINCT g) AS n_hits
+  FROM dg WHERE g IN (SELECT g FROM bg)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
