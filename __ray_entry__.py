@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ntiles": events.q_user_value_ntiles,
         "value_moments": events.q_value_moments,
         "watermark_window_stats": events.q_watermark_window_stats,
+        "funnel": events.q_funnel,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": text_analysis.q_fingerprints,
         "top_tokens_per_lang": text_analysis.q_top_tokens_per_lang,
         "tfidf_top_terms": text_analysis.q_tfidf_top_terms,
+        "conjunctive_search": text_analysis.q_conjunctive_search,
         # training-data preparation
         "chunk_plan": training_prep.q_chunk_plan,
         "pack_plan": training_prep.q_pack_plan,
@@ -104,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": dedup.q_embedding_neardup,
         "embedding_neardup_lsh": dedup.q_embedding_neardup_lsh,
         "dup_clusters": dedup.q_dup_clusters,
+        "fuzzy_vocab_pairs": dedup.q_fuzzy_vocab_pairs,
         # similarity search
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "knn_ivf": similarity.q_knn_ivf,
@@ -159,12 +162,14 @@ def oracle_sql() -> dict[str, str]:
         "user_value_ntiles": events.Q_NTILE_SQL,
         "value_moments": events.Q_MOMENTS_SQL,
         "watermark_window_stats": events.Q_WATERMARK_SQL,
+        "funnel": events.Q_FUNNEL_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "lang_id": text_analysis.Q_LANG_ID_SQL,
         "fingerprints": text_analysis.Q_FINGERPRINTS_SQL,
         "top_tokens_per_lang": text_analysis.Q_TOP_TOKENS_SQL,
         "tfidf_top_terms": text_analysis.Q_TFIDF_SQL,
+        "conjunctive_search": text_analysis.Q_CONJ_SEARCH_SQL,
         "chunk_plan": training_prep.Q_CHUNK_SQL,
         "pack_plan": training_prep.Q_PACK_SQL,
         "decontaminate": training_prep.Q_DECON_SQL,
@@ -178,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": dedup.Q_EMB_NEARDUP_SQL,
         "embedding_neardup_lsh": dedup.Q_EMB_NEARDUP_LSH_SQL,
         "dup_clusters": dedup.Q_DUP_CLUSTERS_SQL,
+        "fuzzy_vocab_pairs": dedup.Q_FUZZY_VOCAB_SQL,
         "knn_bruteforce": similarity.Q_KNN_SQL,
         "knn_ivf_recall": similarity.Q_KNN_IVF_RECALL_SQL,
         "knn_multi": similarity.Q_KNN_MULTI_SQL,

@@ -1176,3 +1176,131 @@ SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep
 FROM walk GROUP BY a
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy vocabulary matching: edit-distance pairs over a distinct-value set
+# ---------------------------------------------------------------------------
+
+def _lev_pairs(
+    a_codes: np.ndarray, a_len: np.ndarray, b_codes: np.ndarray, b_len: np.ndarray
+) -> np.ndarray:
+    """Levenshtein distance for P string pairs at once — the DP runs
+    row-by-row over the longest left string (a Python loop of
+    max(len_a) iterations), each row fully vectorized across pairs.
+
+    The sequential insert dependency cur[j] = min(..., cur[j-1]+1) is
+    folded into a prefix-min:  cur[j] = j + min_{k<=j}(m[k]-k)  where
+    m[j] = min(prev[j]+1, sub[j-1]) — one ``minimum.accumulate`` per
+    row instead of a per-cell loop.  Padding (code 0) never affects a
+    result because pair (a, b)'s distance is read at row a_len, column
+    b_len, which only depends on the real prefixes."""
+    p, max_a = a_codes.shape
+    max_b = b_codes.shape[1]
+    jj = np.arange(max_b + 1, dtype=np.int64)
+    prev = np.broadcast_to(jj, (p, max_b + 1)).copy()
+    out = np.where(a_len == 0, b_len, -1).astype(np.int64)
+    for i in range(1, max_a + 1):
+        sub = prev[:, :-1] + (b_codes != a_codes[:, i - 1 : i])
+        m = np.empty((p, max_b + 1), dtype=np.int64)
+        m[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, sub, out=m[:, 1:])
+        cur = np.minimum.accumulate(m - jj, axis=1) + jj
+        done = a_len == i
+        if done.any():
+            out[done] = cur[done, b_len[done]]
+        prev = cur
+    return out
+
+
+def q_fuzzy_vocab_pairs(sf_dir: str, max_dist: int = 2) -> ray.data.Dataset:
+    """All pairs of DISTINCT ``p_name`` values within ``max_dist``
+    Levenshtein edits — entity-resolution blocking over a value
+    vocabulary (product names, brands, author strings).
+
+    Scale shape: the corpus collapses to its distinct vocabulary first
+    (per-batch ``unique`` partials + one groupby — the only pass over
+    the data), then names band by length bucket ``len // (max_dist+1)``
+    (each name also joins the bucket below, so any pair with
+    ``|len_a - len_b| <= max_dist`` provably shares a bucket); buckets
+    run the pair DP independently with slab-bounded pair generation
+    (``_iter_pair_slabs``), and a final distinct collapses pairs seen
+    by two buckets.  Nothing is ever all-pairs over the vocabulary."""
+    ds = read_table(sf_dir, "part", columns=["p_name"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return pa.table({"name": pc.unique(t["p_name"])})
+
+    names = (
+        ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("name")
+        .map_groups(
+            lambda t: t.slice(0, 1) if t.num_rows else t, batch_format="pyarrow"
+        )
+    )
+
+    width = max_dist + 1
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t["name"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ln // width
+        nm = t["name"].combine_chunks()
+        lower = b - 1
+        keep = lower >= 0
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate([b, lower[keep]]), type=pa.int64()),
+                "name": pa.concat_arrays([nm, nm.filter(pa.array(keep))]),
+            }
+        )
+
+    banded = names.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema(
+        [("name_a", pa.string()), ("name_b", pa.string()), ("dist", pa.int64())]
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2 or "name" not in g.column_names:
+            return out_schema.empty_table()
+        nm = np.asarray(g["name"].to_pylist(), dtype="U")
+        nm.sort()
+        max_w = nm.dtype.itemsize // 4
+        codes = nm.view(np.uint32).reshape(len(nm), max_w)
+        lens = (codes != 0).sum(axis=1).astype(np.int64)
+        out_a, out_b, out_d = [], [], []
+        for ii, jjx in _iter_pair_slabs(len(nm)):
+            ok = np.abs(lens[ii] - lens[jjx]) <= max_dist
+            ii, jjx = ii[ok], jjx[ok]
+            if ii.size == 0:
+                continue
+            d = _lev_pairs(codes[ii], lens[ii], codes[jjx], lens[jjx])
+            hit = d <= max_dist
+            out_a.append(nm[ii[hit]])
+            out_b.append(nm[jjx[hit]])
+            out_d.append(d[hit])
+        if not out_a:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "name_a": pa.array(np.concatenate(out_a)),
+                "name_b": pa.array(np.concatenate(out_b)),
+                "dist": pa.array(np.concatenate(out_d), type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    pairs = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    # a pair whose names share both buckets is found twice -> distinct
+    return pairs.groupby(["name_a", "name_b"]).aggregate(
+        Min("dist", alias_name="dist")
+    )
+
+
+Q_FUZZY_VOCAB_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""

@@ -772,3 +772,88 @@ SELECT window_start,
             AS BIGINT) / 100.0 AS sum_value_kept
 FROM f GROUP BY window_start
 """
+
+
+def q_funnel(sf_dir: str) -> "pd.DataFrame":
+    """Ordered conversion funnel view -> click -> purchase: how many
+    users reached each step, where a step only counts when it happens
+    STRICTLY AFTER the user's completion of the previous step
+    (first view, then first click after that view, then first purchase
+    after that click).
+
+    Scale shape: the scan projects/filters to the three step types per
+    batch (value/props never leave the read), so the groupby(user)
+    shuffle moves only (user_id, event_type, ts) rows.  A funnel has no
+    lossless small per-type partial (step k's time depends on step
+    k-1's), so the per-user event set is the minimal shuffle payload.
+    The per-user step walk is bounded per group; the final reduce is a
+    3-counter aggregate.
+    """
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    steps = ("view", "click", "purchase")
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=pa.array(steps)))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    def user_steps(g: pd.DataFrame) -> pa.Table:
+        uids, s2s, s3s = [], [], []
+        for uid, grp in g.groupby("user_id", sort=True):
+            ts = grp["ts"].to_numpy()
+            et = grp["event_type"].to_numpy()
+            v = ts[et == steps[0]]
+            if v.size == 0:
+                continue  # user never entered the funnel
+            t1 = v.min()
+            c = ts[(et == steps[1]) & (ts > t1)]
+            s2 = c.size > 0
+            s3 = False
+            if s2:
+                t2 = c.min()
+                s3 = bool(((et == steps[2]) & (ts > t2)).any())
+            uids.append(uid)
+            s2s.append(int(s2))
+            s3s.append(int(s3))
+        return pa.table(
+            {
+                "user_id": pa.array(uids, type=pa.int64()),
+                "s2": pa.array(s2s, type=pa.int64()),
+                "s3": pa.array(s3s, type=pa.int64()),
+            }
+        )
+
+    per_user = pruned.groupby("user_id").map_groups(user_steps, batch_format="pandas")
+    agg = per_user.aggregate(
+        Count(alias_name="n_view"),
+        Sum("s2", alias_name="n_view_click"),
+        Sum("s3", alias_name="n_full_funnel"),
+    )
+    return pd.DataFrame(
+        {
+            "n_view": [int(agg["n_view"] or 0)],
+            "n_view_click": [int(agg["n_view_click"] or 0)],
+            "n_full_funnel": [int(agg["n_full_funnel"] or 0)],
+        }
+    )
+
+
+Q_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_view_click,
+       (SELECT COUNT(*) FROM s3) AS n_full_funnel
+"""

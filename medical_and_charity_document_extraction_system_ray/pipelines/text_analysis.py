@@ -456,3 +456,62 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                            ORDER BY FLOOR(tf.n * ln(CAST(n_docs AS DOUBLE) / df.df)
                                           * 1e6) / 1e6 DESC, token) <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive term search (inverted-index query shape)
+# ---------------------------------------------------------------------------
+
+def q_conjunctive_search(
+    sf_dir: str, terms: tuple[str, ...] = ("spark", "window", "merge")
+) -> ray.data.Dataset:
+    """Documents containing ALL query terms (exact whitespace-token
+    match), with the total occurrence count of the query terms.
+
+    Scale shape: the scan is embarrassingly parallel and prunes to the
+    query vocabulary inside each batch (an ``is_in`` over the exploded
+    tokens — only doc_id + two ints survive), so nothing but matches
+    leaves the read.  For a standing query workload, the same per-batch
+    explode feeds a (term, doc_id) posting-list build (one groupby);
+    this operator is the one-shot scan flavor.
+    """
+    from .training_prep import _tokens_flat
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    k = len(terms)
+
+    def probe(t: pa.Table) -> pa.Table:
+        flat, parent, _n_tok = _tokens_flat(t["text"])
+        n_rows = t.num_rows
+        hit_terms = np.zeros(n_rows, dtype=np.int64)  # distinct terms present
+        n_matches = np.zeros(n_rows, dtype=np.int64)  # total occurrences
+        for term in terms:
+            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            per_row = np.bincount(parent[eq], minlength=n_rows)
+            hit_terms += per_row > 0
+            n_matches += per_row
+        keep = hit_terms == k
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "n_matches": pa.array(n_matches[keep], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_CONJ_SEARCH_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(tk, t -> t IN ('spark', 'window', 'merge')))
+            AS BIGINT) AS n_matches
+FROM tk
+WHERE list_contains(tk, 'spark')
+  AND list_contains(tk, 'window')
+  AND list_contains(tk, 'merge')
+"""
