@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_functions": scalar_suite.q_string_functions,
         "hash_sample": scalar_suite.q_hash_sample,
         "stratified_sample": scalar_suite.q_stratified_sample,
+        "weighted_sample": scalar_suite.q_weighted_sample,
         "monthly_order_stats": scalar_suite.q_monthly_order_stats,
         "customers_without_orders": relational.q_customers_without_orders,
         "customer_nation_left": relational.q_customer_nation_left,
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": dedup.q_embedding_neardup_lsh,
         "dup_clusters": dedup.q_dup_clusters,
         "fuzzy_vocab_pairs": dedup.q_fuzzy_vocab_pairs,
+        "pagerank_neardup": dedup.q_pagerank_neardup,
         # similarity search
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "knn_ivf": similarity.q_knn_ivf,
@@ -145,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "string_functions": scalar_suite.Q_STRING_SQL,
         "hash_sample": scalar_suite.Q_HASH_SAMPLE_SQL,
         "stratified_sample": scalar_suite.Q_STRATIFIED_SQL,
+        "weighted_sample": scalar_suite.Q_WEIGHTED_SAMPLE_SQL,
         "monthly_order_stats": scalar_suite.Q_MONTHLY_SQL,
         "customers_without_orders": relational.Q_ANTI_SQL,
         "customer_nation_left": relational.Q_LEFT_JOIN_SQL,
@@ -184,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": dedup.Q_EMB_NEARDUP_LSH_SQL,
         "dup_clusters": dedup.Q_DUP_CLUSTERS_SQL,
         "fuzzy_vocab_pairs": dedup.Q_FUZZY_VOCAB_SQL,
+        "pagerank_neardup": dedup.Q_PAGERANK_SQL,
         "knn_bruteforce": similarity.Q_KNN_SQL,
         "knn_ivf_recall": similarity.Q_KNN_IVF_RECALL_SQL,
         "knn_multi": similarity.Q_KNN_MULTI_SQL,

@@ -1304,3 +1304,141 @@ SELECT a.p_name AS name_a, b.p_name AS name_b,
 FROM names a JOIN names b ON a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup pair graph (iterative power method)
+# ---------------------------------------------------------------------------
+
+def q_pagerank_neardup(
+    sf_dir: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    jaccard_threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """PageRank (fixed ``iters`` power iterations, damping 0.85) over
+    the undirected MinHash near-dup graph — ranking duplicate-cluster
+    members by connectivity so the best-connected copy can be kept.
+
+    Iterative-Dataset shape (same as ``q_dup_clusters``): the
+    transition table ``(src, dst, deg_src)`` is built once; each
+    iteration is one hash join (ranks on src) + one groupby(dst) sum —
+    everything stays on the PAIR graph, never the corpus.  Per-row
+    contribution is computed as ``r / deg`` (not ``r * (1/deg)``) so
+    the elementary float ops match the SQL oracle bit-for-bit; the
+    final grid floor absorbs summation-order ulps.  Undirected graphs
+    have no dangling nodes, so no leaked-mass correction is needed."""
+    pairs = q_minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]).astype(np.int64)),
+                "dst": pa.array(np.concatenate([b, a]).astype(np.int64)),
+            }
+        )
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("rank", pa.float64())])
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    deg_schema = pa.schema([("src", pa.int64()), ("d", pa.float64())])
+    deg = (
+        edges.groupby("src")
+        .aggregate(Count(alias_name="d"))
+        .repartition(2)
+        .map_batches(
+            lambda t: pa.table(
+                {"src": pc.cast(t["src"], pa.int64()),
+                 "d": pc.cast(t["d"], pa.float64())}
+            ) if t.num_rows and "src" in t.column_names else deg_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n = deg.count()
+
+    trans = edges.join(
+        deg, join_type="inner", num_partitions=2, on=("src",)
+    ).materialize()
+
+    rank_schema = pa.schema([("src", pa.int64()), ("r", pa.float64())])
+    ranks = deg.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "r": pa.array(np.full(t.num_rows, 1.0 / n))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        contrib = trans.join(
+            ranks, join_type="inner", num_partitions=2, on=("src",)
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "dst": pc.cast(t["dst"], pa.int64()),
+                    "c": pc.divide(
+                        pc.cast(t["r"], pa.float64()), pc.cast(t["d"], pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ranks = (
+            contrib.groupby("dst")
+            .aggregate(Sum("c", alias_name="s"))
+            .repartition(2)
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "src": pc.cast(t["dst"], pa.int64()),
+                        "r": pa.array(
+                            (1.0 - damping) / n
+                            + damping * t["s"].to_numpy(zero_copy_only=False)
+                        ),
+                    }
+                ) if t.num_rows and "dst" in t.column_names
+                else rank_schema.empty_table(),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["src"], pa.int64()),
+                "rank": pa.array(np.floor(r * 1e6 + 1e-3) / 1e6),
+            },
+            schema=out_schema,
+        )
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
+Q_PAGERANK_SQL = (
+    "WITH base AS (" + Q_MINHASH_SQL + """),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM base
+  UNION ALL
+  SELECT doc_b, doc_a FROM base
+),
+deg AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY a),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT a AS v, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+r1 AS (SELECT e.b AS v, 0.15 / (SELECT n FROM nn)
+              + 0.85 * SUM(r0.r / deg.d) AS r
+       FROM e JOIN deg ON deg.a = e.a JOIN r0 ON r0.v = e.a GROUP BY e.b),
+r2 AS (SELECT e.b AS v, 0.15 / (SELECT n FROM nn)
+              + 0.85 * SUM(r1.r / deg.d) AS r
+       FROM e JOIN deg ON deg.a = e.a JOIN r1 ON r1.v = e.a GROUP BY e.b),
+r3 AS (SELECT e.b AS v, 0.15 / (SELECT n FROM nn)
+              + 0.85 * SUM(r2.r / deg.d) AS r
+       FROM e JOIN deg ON deg.a = e.a JOIN r2 ON r2.v = e.a GROUP BY e.b)
+SELECT v AS doc_id, FLOOR(r * 1e6 + 1e-3) / 1e6 AS rank FROM r3
+"""
+)

@@ -188,3 +188,83 @@ WHERE list_reduce(list_prepend(CAST(0 AS HUGEINT),
       < CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 10 WHEN 'fr' THEN 10
                   WHEN 'es' THEN 25 WHEN 'zh' THEN 25 ELSE 5 END
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 5
+_U53 = 9007199254740992  # 2^53: largest power of two exact in a double
+
+
+def q_weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K) -> ray.data.Dataset:
+    """Top-``k`` docs per language, sampled WITHOUT replacement with
+    probability proportional to ``n_chars`` (Efraimidis-Spirakis
+    A-ES: rank by ``ln(u) / w`` descending, u a deterministic
+    per-doc uniform) — the quality/length-weighted curation sampler.
+
+    Deterministic u = (horner_hash(doc_id) % 2^53 + 1) / (2^53 + 1):
+    exact in a double on both engines, so numpy and DuckDB compute
+    bit-identical keys (same libm ``log``) and the selected SET is
+    value-oracle-able, not just its size.  Scale shape: each batch
+    keeps only its local top-k per lang (vectorized run-position
+    filter), so the final per-lang reduce sees k rows per (lang,
+    batch) — the classic distributed-top-k funnel, no global sort."""
+    import numpy as np
+
+    from ..functions.text import fingerprint64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def _keyed_topk(t: pa.Table) -> pa.Table:
+        h = fingerprint64(pc.cast(t["doc_id"], pa.string()))
+        u = ((h % np.uint64(_U53)) + np.uint64(1)).astype(np.float64) / float(_U53 + 1)
+        w = np.maximum(
+            t["n_chars"].to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        key = np.log(u) / w
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, -key, lang))
+        l_sorted = lang[order]
+        starts = np.concatenate([[True], l_sorted[1:] != l_sorted[:-1]])
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(len(order)), 0))
+        rank = np.arange(len(order)) - run_start
+        keep = order[rank < k]
+        return pa.table(
+            {
+                "lang": t["lang"].take(pa.array(keep)),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).take(pa.array(keep)),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()).take(pa.array(keep)),
+            }
+        )
+
+    local = ds.map_batches(_keyed_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("doc_id", pa.int64()), ("n_chars", pa.int64())]
+    )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "lang" not in g.column_names:
+            return out_schema.empty_table()
+        return _keyed_topk(g.combine_chunks()).cast(out_schema)
+
+    return local.groupby("lang").map_groups(final_topk, batch_format="pyarrow")
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         ln(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+              list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+                             i -> unicode((CAST(doc_id AS VARCHAR))[i]))),
+              (a, x) -> (a * 1099511628211 + x) % 18446744073709551616)
+            % 9007199254740992 + 1 AS DOUBLE) / 9007199254740993.0)
+         / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS key
+  FROM documents
+)
+SELECT lang, doc_id, n_chars FROM keyed
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) <= 5
+"""

@@ -107,3 +107,51 @@ def test_fuzzy_vocab_banding_finds_cross_length_pairs(tmp_path):
     # no duplicate pair rows even though both names share two buckets
     assert len(out) == len(out.drop_duplicates(["name_a", "name_b"]))
     assert all(out["dist"] <= 2)
+
+
+def test_pagerank_neardup_planted_graph(tmp_path):
+    """A path graph A-B-C (B overlaps both halves, A and C share
+    nothing): ranks must match a numpy power iteration, with the hub B
+    outranking the leaves."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_pagerank_neardup,
+    )
+
+    q1 = [f"q{i}" for i in range(12)]
+    q2 = [f"r{i}" for i in range(12)]
+    # jaccard(A,B) = jaccard(B,C) = 10/22 ~ 0.45; jaccard(A,C) = 0
+    texts = [" ".join(q1), " ".join(q1 + q2), " ".join(q2),
+             "totally unrelated words here now"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        q_pagerank_neardup(str(tmp_path), iters=3, jaccard_threshold=0.4)
+        .to_pandas()
+        .set_index("doc_id")["rank"]
+    )
+    assert sorted(out.index) == [0, 1, 2]  # doc 3 has no dup edge
+    # numpy reference: path 0-1-2 (hub 1 has deg 2, leaves deg 1)
+    edges = [(0, 1), (1, 2)]
+    deg = np.zeros(3)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    r = np.full(3, 1 / 3)
+    for _ in range(3):
+        nxt = np.full(3, 0.15 / 3)
+        for a, b in edges:
+            nxt[b] += 0.85 * r[a] / deg[a]
+            nxt[a] += 0.85 * r[b] / deg[b]
+        r = nxt
+    want = np.floor(r * 1e6 + 1e-3) / 1e6
+    got = out.sort_index().to_numpy()
+    assert np.allclose(got, want, atol=2e-6)
+    assert got[1] > got[0]  # the hub outranks the leaves

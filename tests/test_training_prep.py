@@ -119,3 +119,31 @@ def test_decontaminate_counts_distinct_grams(tmp_path):
     out = q_decontaminate(sf, n=4, holdout_mod=97).to_pandas().set_index("doc_id")
     assert out.loc[1, "n_hits"] == 1
     assert out.loc[2, "n_hits"] == 2
+
+
+def test_weighted_sample_funnel_invariance(tmp_path):
+    """The per-batch local-top-k funnel must select the same set as a
+    single brute-force pass, regardless of how rows are split into
+    blocks."""
+    import ray.data
+    from medical_and_charity_document_extraction_system_ray.functions.text import (
+        fingerprint64,
+    )
+    from medical_and_charity_document_extraction_system_ray.pipelines.scalar_suite import (
+        _U53,
+        q_weighted_sample,
+    )
+
+    n = 40
+    texts = ["x" * (i + 1) for i in range(n)]
+    sf = _write_docs(tmp_path, texts, doc_ids=list(range(n)))
+    got = set(q_weighted_sample(sf, k=5).to_pandas()["doc_id"])
+
+    # brute force with identical arithmetic
+    ids = pa.array([str(i) for i in range(n)])
+    h = fingerprint64(ids)
+    u = ((h % np.uint64(_U53)) + np.uint64(1)).astype(np.float64) / float(_U53 + 1)
+    w = np.maximum(np.array([i + 1 for i in range(n)], np.int64), 1).astype(np.float64)
+    key = np.log(u) / w
+    want = set(np.argsort(-key, kind="stable")[:5].tolist())
+    assert got == want
