@@ -90,10 +90,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_lang": text_analysis.q_top_tokens_per_lang,
         "tfidf_top_terms": text_analysis.q_tfidf_top_terms,
         "conjunctive_search": text_analysis.q_conjunctive_search,
+        "repetition_scores": text_analysis.q_repetition_scores,
         # training-data preparation
         "chunk_plan": training_prep.q_chunk_plan,
         "pack_plan": training_prep.q_pack_plan,
         "decontaminate": training_prep.q_decontaminate,
+        "quality_threshold_filter": training_prep.q_quality_threshold_filter,
         # sketches
         "distinct_users_exact": sketches.q_distinct_users_exact,
         "approx_distinct_users": sketches.q_approx_distinct_users,
@@ -173,9 +175,11 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens_per_lang": text_analysis.Q_TOP_TOKENS_SQL,
         "tfidf_top_terms": text_analysis.Q_TFIDF_SQL,
         "conjunctive_search": text_analysis.Q_CONJ_SEARCH_SQL,
+        "repetition_scores": text_analysis.Q_REPETITION_SQL,
         "chunk_plan": training_prep.Q_CHUNK_SQL,
         "pack_plan": training_prep.Q_PACK_SQL,
         "decontaminate": training_prep.Q_DECON_SQL,
+        "quality_threshold_filter": training_prep.Q_QUALITY_FILTER_SQL,
         "distinct_users_exact": sketches.Q_DISTINCT_USERS_SQL,
         "approx_distinct_check": sketches.Q_APPROX_DISTINCT_CHECK_SQL,
         "hist_quantiles": sketches.Q_HIST_QUANTILES_SQL,

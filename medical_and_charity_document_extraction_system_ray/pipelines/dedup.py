@@ -1420,20 +1420,23 @@ def q_pagerank_neardup(
     return ranks.map_batches(finalize, batch_format="pyarrow")
 
 
+# MATERIALIZED hints: ``base`` (the expensive exact-Jaccard self-join)
+# and ``e`` are referenced by several CTE layers — without the hint
+# DuckDB may inline them per reference, multiplying the base cost ~8x.
 Q_PAGERANK_SQL = (
-    "WITH base AS (" + Q_MINHASH_SQL + """),
-e AS (
+    "WITH base AS MATERIALIZED (" + Q_MINHASH_SQL + """),
+e AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM base
   UNION ALL
   SELECT doc_b, doc_a FROM base
 ),
-deg AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY a),
+deg AS MATERIALIZED (SELECT a, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY a),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
 r0 AS (SELECT a AS v, 1.0 / (SELECT n FROM nn) AS r FROM deg),
-r1 AS (SELECT e.b AS v, 0.15 / (SELECT n FROM nn)
+r1 AS MATERIALIZED (SELECT e.b AS v, 0.15 / (SELECT n FROM nn)
               + 0.85 * SUM(r0.r / deg.d) AS r
        FROM e JOIN deg ON deg.a = e.a JOIN r0 ON r0.v = e.a GROUP BY e.b),
-r2 AS (SELECT e.b AS v, 0.15 / (SELECT n FROM nn)
+r2 AS MATERIALIZED (SELECT e.b AS v, 0.15 / (SELECT n FROM nn)
               + 0.85 * SUM(r1.r / deg.d) AS r
        FROM e JOIN deg ON deg.a = e.a JOIN r1 ON r1.v = e.a GROUP BY e.b),
 r3 AS (SELECT e.b AS v, 0.15 / (SELECT n FROM nn)

@@ -515,3 +515,98 @@ WHERE list_contains(tk, 'spark')
   AND list_contains(tk, 'window')
   AND list_contains(tk, 'merge')
 """
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition scores (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def q_repetition_scores(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc repetition signals used by quality-filter rules:
+    ``dup_2gram_ratio`` (fraction of 2-gram occurrences whose gram
+    repeats within the doc) and ``top_token_ratio`` (share of the most
+    frequent token) — high values flag boilerplate/spam for removal.
+
+    Per batch: one token explode feeds both signals; counts come from
+    Arrow ``group_by`` over (row, gram), segment-reduced back to rows
+    with ``np.add.at``/``np.maximum.at``.  Ratios are single exact
+    integer divisions, so the 1e-6 floor grid needs no ulp slack."""
+    from .training_prep import _ngrams_flat, _tokens_flat
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        flat, parent, n_tok = _tokens_flat(t["text"])
+        # 2-gram duplication: occurrences of grams with count >= 2
+        grams, g_rows = _ngrams_flat(flat, n_tok, 2)
+        dup_occ = np.zeros(n_rows, dtype=np.int64)
+        if len(grams):
+            cnt = (
+                pa.table({"r": pa.array(g_rows), "g": grams})
+                .group_by(["r", "g"])
+                .aggregate([([], "count_all")])
+            )
+            c = cnt["count_all"].to_numpy(zero_copy_only=False)
+            dup = c >= 2
+            np.add.at(dup_occ, cnt["r"].to_numpy(zero_copy_only=False)[dup], c[dup])
+        tot2 = np.maximum(n_tok - 1, 0)
+        # top token share
+        top = np.zeros(n_rows, dtype=np.int64)
+        if len(flat):
+            cu = (
+                pa.table({"r": pa.array(parent), "tok": flat})
+                .group_by(["r", "tok"])
+                .aggregate([([], "count_all")])
+            )
+            np.maximum.at(
+                top,
+                cu["r"].to_numpy(zero_copy_only=False),
+                cu["count_all"].to_numpy(zero_copy_only=False),
+            )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r2 = np.where(tot2 > 0, dup_occ / tot2.astype(np.float64), 0.0)
+            ru = np.where(n_tok > 0, top / n_tok.astype(np.float64), 0.0)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "dup_2gram_ratio": pa.array(np.floor(r2 * 1e6) / 1e6),
+                "top_token_ratio": pa.array(np.floor(ru * 1e6) / 1e6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_REPETITION_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+), g2 AS (
+  SELECT doc_id, array_to_string(list_slice(tk, i + 1, i + 2), ' ') AS g
+  FROM (SELECT doc_id, tk, UNNEST(range(0, greatest(len(tk) - 1, 0))) AS i FROM tk)
+), c2 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g
+), r2 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+         CAST(SUM(c) AS BIGINT) AS tot
+  FROM c2 GROUP BY doc_id
+), cu AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(tk) AS tok FROM tk) GROUP BY doc_id, tok
+), ru AS (
+  SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS nt FROM cu GROUP BY doc_id
+)
+SELECT t.doc_id,
+       FLOOR(CASE WHEN COALESCE(r2.tot, 0) > 0
+                  THEN CAST(r2.dup_occ AS DOUBLE) / r2.tot ELSE 0 END
+             * 1000000) / 1000000 AS dup_2gram_ratio,
+       FLOOR(CASE WHEN COALESCE(ru.nt, 0) > 0
+                  THEN CAST(ru.mx AS DOUBLE) / ru.nt ELSE 0 END
+             * 1000000) / 1000000 AS top_token_ratio
+FROM tk t
+LEFT JOIN r2 ON r2.doc_id = t.doc_id
+LEFT JOIN ru ON ru.doc_id = t.doc_id
+"""

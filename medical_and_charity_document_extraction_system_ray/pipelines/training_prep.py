@@ -65,6 +65,24 @@ def _grouped_arange(counts: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
+def _ngrams_flat(
+    flat: pa.Array, n_tok: np.ndarray, n: int
+) -> tuple[pa.Array, np.ndarray]:
+    """Space-joined word ``n``-gram strings over an exploded token
+    stream: ``(flat n-grams, parent row index)`` — one numpy gather +
+    one ``binary_join``, no per-row Python."""
+    doc_off = np.cumsum(n_tok) - n_tok
+    n_grams = np.maximum(n_tok - (n - 1), 0)
+    row_idx = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_grams)
+    start = _grouped_arange(n_grams)
+    tok_idx = (np.repeat(doc_off[row_idx] + start, n) +
+               np.tile(np.arange(n, dtype=np.int64), int(n_grams.sum())))
+    values = flat.take(pa.array(tok_idx))
+    offsets = np.arange(0, (int(n_grams.sum()) + 1) * n, n, dtype=np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
+    return pc.binary_join(lists, " "), row_idx
+
+
 # ---------------------------------------------------------------------------
 # Chunking: fixed token windows with stride (overlapping model chunks)
 # ---------------------------------------------------------------------------
@@ -237,16 +255,7 @@ def q_decontaminate(sf_dir: str, n: int = 4, holdout_mod: int = 97) -> ray.data.
     def _ngrams(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
         """(flat n-gram strings, parent row index) per batch."""
         flat, _parent, n_tok = _tokens_flat(t["text"])
-        doc_off = np.cumsum(n_tok) - n_tok
-        n_grams = np.maximum(n_tok - (n - 1), 0)
-        row_idx = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_grams)
-        start = _grouped_arange(n_grams)
-        tok_idx = (np.repeat(doc_off[row_idx] + start, n) +
-                   np.tile(np.arange(n, dtype=np.int64), int(n_grams.sum())))
-        values = flat.take(pa.array(tok_idx))
-        offsets = np.arange(0, (int(n_grams.sum()) + 1) * n, n, dtype=np.int32)
-        lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
-        return pc.binary_join(lists, " "), row_idx
+        return _ngrams_flat(flat, n_tok, n)
 
     def is_bench(t: pa.Table) -> pa.Array:
         # no modulo kernel in this pyarrow: one zero-ish-copy numpy round-trip
@@ -326,4 +335,73 @@ SELECT d.doc_id,
        COALESCE(h.n_hits, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
 LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Adaptive quality-threshold filter (keep the top decile by score)
+# ---------------------------------------------------------------------------
+
+def q_quality_threshold_filter(sf_dir: str, pct: float = 0.9) -> ray.data.Dataset:
+    """Keep documents at or above the corpus' ``pct`` order statistic
+    of ``n_chars`` — the 'keep the top decile by quality score'
+    curation step, where the cut point is a GLOBAL statistic computed
+    from the data, not a constant.
+
+    Exact without a sort: integer scores make the threshold computable
+    from a value histogram — per-batch (score, count) partials, one
+    tiny groupby, cumulative counts on the driver (bounded by the
+    DISTINCT score domain, not the corpus).  The threshold is then a
+    plain broadcast predicate on a second streaming pass.  Threshold
+    definition shared with the SQL oracle: the k-th smallest score,
+    k = ceil(pct * n)."""
+    cols = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = pa.table({"v": t["n_chars"]}).group_by("v").aggregate([([], "count_all")])
+        return g.rename_columns(["v", "c"])
+
+    counts = (
+        cols.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    n = int(counts["c"].sum())
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("lang", pa.string()),
+                 ("n_chars", pa.int64())]
+            ).empty_table()
+        )
+    k = int(np.ceil(pct * n))
+    cum = counts["c"].cumsum().to_numpy()
+    threshold = int(counts["v"].to_numpy()[np.searchsorted(cum, k)])
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(t["n_chars"], threshold)
+        out = t.filter(mask)
+        return pa.table(
+            {
+                "doc_id": pc.cast(out["doc_id"], pa.int64()),
+                "lang": out["lang"],
+                "n_chars": pc.cast(out["n_chars"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_QUALITY_FILTER_SQL = """
+WITH th AS (
+  SELECT n_chars AS t FROM documents ORDER BY n_chars
+  LIMIT 1
+  OFFSET (SELECT CAST(CEIL(0.9 * COUNT(*)) AS BIGINT) - 1 FROM documents)
+)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars >= (SELECT t FROM th)
 """

@@ -147,3 +147,18 @@ def test_weighted_sample_funnel_invariance(tmp_path):
     key = np.log(u) / w
     want = set(np.argsort(-key, kind="stable")[:5].tolist())
     assert got == want
+
+
+def test_repetition_scores_planted(tmp_path):
+    """'a b a b a' has 2-grams [ab, ba, ab, ba] (all repeated -> ratio
+    1.0) and top token 'a' 3/5; a no-repeat doc scores 0 and 1/4."""
+    sf = _write_docs(tmp_path, ["a b a b a", "w x y z"])
+    from medical_and_charity_document_extraction_system_ray.pipelines.text_analysis import (
+        q_repetition_scores,
+    )
+
+    out = q_repetition_scores(sf).to_pandas().set_index("doc_id")
+    assert out.loc[0, "dup_2gram_ratio"] == 1.0
+    assert abs(out.loc[0, "top_token_ratio"] - np.floor(3 / 5 * 1e6) / 1e6) < 1e-9
+    assert out.loc[1, "dup_2gram_ratio"] == 0.0
+    assert out.loc[1, "top_token_ratio"] == 0.25
