@@ -96,11 +96,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_plan": training_prep.q_pack_plan,
         "decontaminate": training_prep.q_decontaminate,
         "quality_threshold_filter": training_prep.q_quality_threshold_filter,
+        "global_index": training_prep.q_global_index,
         # sketches
         "distinct_users_exact": sketches.q_distinct_users_exact,
         "approx_distinct_users": sketches.q_approx_distinct_users,
         "approx_distinct_check": sketches.q_approx_distinct_check,
         "hist_quantiles": sketches.q_hist_quantiles,
+        "heavy_hitters": sketches.q_heavy_hitters,
+        "heavy_hitters_check": sketches.q_heavy_hitters_check,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
@@ -180,9 +183,11 @@ def oracle_sql() -> dict[str, str]:
         "pack_plan": training_prep.Q_PACK_SQL,
         "decontaminate": training_prep.Q_DECON_SQL,
         "quality_threshold_filter": training_prep.Q_QUALITY_FILTER_SQL,
+        "global_index": training_prep.Q_GLOBAL_INDEX_SQL,
         "distinct_users_exact": sketches.Q_DISTINCT_USERS_SQL,
         "approx_distinct_check": sketches.Q_APPROX_DISTINCT_CHECK_SQL,
         "hist_quantiles": sketches.Q_HIST_QUANTILES_SQL,
+        "heavy_hitters_check": sketches.Q_HEAVY_HITTERS_CHECK_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
         "minhash_lsh_pairs": dedup.Q_MINHASH_SQL,
         "simhash_pairs": dedup.Q_SIMHASH_SQL,
@@ -205,6 +210,8 @@ def oracle_sql() -> dict[str, str]:
         # probabilistic operators themselves — approx_distinct_users
         # (KMV estimate; bound gated by approx_distinct_check), knn_ivf
         # (approximate top-k; recall gated by knn_ivf_recall), knn_pq
-        # (ADC compressed scan; recall gated by knn_pq_recall) — and
+        # (ADC compressed scan; recall gated by knn_pq_recall),
+        # heavy_hitters (Misra-Gries counters depend on batch
+        # boundaries; guarantee gated by heavy_hitters_check) — and
         # the geometry-heuristic stages media_features / page_regions.
     }

@@ -240,3 +240,126 @@ SELECT q,
        / 100.0 AS est
 FROM qs, b, (SELECT DISTINCT total FROM cum) t(total)
 """
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: mergeable Misra-Gries sketch + value-oracled gate
+# ---------------------------------------------------------------------------
+
+# The corpus vocabulary is ~31 near-uniform tokens: k=28 forces real
+# per-batch compression while keeping the n/(k+1) guarantee threshold
+# below the top-token share, so the gate checks a non-empty heavy set.
+MG_K = 28
+
+
+def _mg_compress(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """Reduce a counter set to <= k entries by subtracting the (k+1)-th
+    largest count (the Misra-Gries decrement, batched): error added is
+    bounded by that pivot, and the summary stays mergeable-by-sum
+    (Agarwal et al., 'Mergeable Summaries', PODS'12)."""
+    if tokens.size <= k:
+        return tokens, counts
+    pivot = np.partition(counts, counts.size - (k + 1))[counts.size - (k + 1)]
+    c = counts - pivot
+    keep = c > 0
+    return tokens[keep], c[keep]
+
+
+def q_heavy_hitters(sf_dir: str, k: int = MG_K) -> pa.Table:
+    """Misra-Gries heavy hitters over all document tokens with k
+    counters: every token whose true frequency exceeds n/(k+1) is
+    guaranteed present, with count underestimated by at most n/(k+1).
+
+    Scale shape: each batch compresses its exact local counts to k
+    counters (one ``np.partition``), the shuffle moves <= k rows per
+    batch, partials merge by SUM (mergeability is the point of MG),
+    and the final compress sees the merged counter table — bounded by
+    k x batches, not the vocabulary.  Counter VALUES depend on batch
+    boundaries, so this op is rows-only; its guarantee is value-gated
+    by ``q_heavy_hitters_check``."""
+    from ray.data.aggregate import Sum
+
+    from .training_prep import _tokens_flat
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _parent, _n = _tokens_flat(t["text"])
+        g = pa.table({"token": flat}).group_by("token").aggregate([([], "count_all")])
+        toks = np.asarray(g["token"].to_pylist(), dtype=object)
+        cnts = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks, cnts = _mg_compress(toks, cnts, k)
+        return pa.table(
+            {"token": pa.array(list(toks), type=pa.string()),
+             "c": pa.array(cnts, type=pa.int64())}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    toks = merged["token"].to_numpy(dtype=object)
+    cnts = merged["c"].to_numpy(dtype=np.int64)
+    toks, cnts = _mg_compress(toks, cnts, k)
+    order = np.lexsort((toks, -cnts))
+    return pa.table(
+        {
+            "token": pa.array(list(toks[order]), type=pa.string()),
+            "est": pa.array(cnts[order], type=pa.int64()),
+        }
+    )
+
+
+def q_heavy_hitters_check(sf_dir: str, k: int = MG_K) -> pa.Table:
+    """Value-oracled guarantee gate for the MG sketch: computes the
+    EXACT counts of all tokens with freq > n/(k+1) (the heavy set) and
+    asserts each is present in the sketch with estimate within
+    n/(k+1) of exact.  The SQL oracle recomputes the exact heavy set
+    and asserts TRUE — a sketch violating its bound hash-mismatches."""
+    from ray.data.aggregate import Sum
+
+    from .training_prep import _tokens_flat
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        flat, _parent, _n = _tokens_flat(t["text"])
+        g = pa.table({"token": flat}).group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "c"])
+
+    exact = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    n = int(exact["c"].sum())
+    thr = n / (k + 1.0)
+    heavy = exact[exact["c"] > thr].sort_values("token").reset_index(drop=True)
+
+    sk = q_heavy_hitters(sf_dir, k=k).to_pandas().set_index("token")["est"]
+    est = heavy["token"].map(sk)
+    ok = est.notna() & ((heavy["c"] - est.fillna(0)) <= thr)
+    return pa.table(
+        {
+            "token": pa.array(heavy["token"], type=pa.string()),
+            "n_exact": pa.array(heavy["c"].astype("int64")),
+            "est_ok": pa.array(ok.astype(bool)),
+        }
+    )
+
+
+Q_HEAVY_HITTERS_CHECK_SQL = r"""
+WITH toks AS (
+  SELECT UNNEST(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                t -> t <> '')) AS token
+  FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS n_exact FROM toks GROUP BY token
+)
+SELECT token, CAST(n_exact AS BIGINT) AS n_exact, TRUE AS est_ok
+FROM c
+WHERE n_exact > (SELECT COUNT(*) FROM toks) / 29.0
+"""

@@ -405,3 +405,60 @@ WITH th AS (
 SELECT doc_id, lang, n_chars FROM documents
 WHERE n_chars >= (SELECT t FROM th)
 """
+
+
+# ---------------------------------------------------------------------------
+# Global index assignment (zipWithIndex over a total order)
+# ---------------------------------------------------------------------------
+
+def q_global_index(sf_dir: str) -> ray.data.Dataset:
+    """Assign every document a contiguous global row index under the
+    total order (source, doc_id) — the zipWithIndex primitive used to
+    give a sharded corpus stable training example ids.
+
+    Two cheap passes instead of a global sort: (1) per-source counts
+    (tiny groupby) -> driver-side prefix sum over the ~#sources rows ->
+    broadcast offset dict; (2) rank within source (keyed shuffle +
+    vectorized argsort per group) + offset lookup.  The all-to-all
+    moves (source, doc_id) pairs only."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    counts = (
+        ds.groupby("source")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("source")
+    )
+    csum = counts["c"].cumsum().shift(fill_value=0)
+    offsets = dict(zip(counts["source"], csum.astype(int)))
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()), ("global_row", pa.int64())]
+    )
+
+    def rank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "source" not in g.column_names:
+            return out_schema.empty_table()
+        g = g.combine_chunks()
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        rk = np.empty(len(doc), dtype=np.int64)
+        rk[order] = np.arange(len(doc), dtype=np.int64)
+        base = offsets[g["source"][0].as_py()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(g["doc_id"], pa.int64()),
+                "source": g["source"],
+                "global_row": pa.array(base + rk, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return ds.groupby("source").map_groups(rank, batch_format="pyarrow")
+
+
+Q_GLOBAL_INDEX_SQL = """
+SELECT doc_id, source,
+       ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS global_row
+FROM documents
+"""

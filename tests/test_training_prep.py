@@ -162,3 +162,31 @@ def test_repetition_scores_planted(tmp_path):
     assert abs(out.loc[0, "top_token_ratio"] - np.floor(3 / 5 * 1e6) / 1e6) < 1e-9
     assert out.loc[1, "dup_2gram_ratio"] == 0.0
     assert out.loc[1, "top_token_ratio"] == 0.25
+
+
+def test_heavy_hitters_guarantee_on_skewed_corpus(tmp_path):
+    """One token dominates a 40-token vocabulary: Misra-Gries with
+    k=4 counters must surface it with estimate within n/(k+1) of the
+    exact count, even though per-batch compression is aggressive."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.sketches import (
+        q_heavy_hitters,
+        q_heavy_hitters_check,
+    )
+
+    rng = np.random.default_rng(3)
+    texts = []
+    for _ in range(30):
+        toks = ["hot"] * 20 + [f"w{rng.integers(40)}" for _ in range(20)]
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    sf = _write_docs(tmp_path, texts)
+    n = 30 * 40
+    sk = q_heavy_hitters(sf, k=4).to_pandas().set_index("token")["est"]
+    exact_hot = 30 * 20
+    assert "hot" in sk.index
+    assert exact_hot - sk["hot"] <= n / 5.0
+    assert sk["hot"] <= exact_hot  # MG never overestimates
+    assert len(sk) <= 4
+    chk = q_heavy_hitters_check(sf, k=4).to_pandas()
+    assert "hot" in set(chk["token"])
+    assert chk["est_ok"].all()
