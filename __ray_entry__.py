@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_documents": relational.q_merge_documents,
         "quantity_quantiles": relational.q_quantity_quantiles,
         "revenue_rollup": relational.q_revenue_rollup,
+        "revenue_cube": relational.q_revenue_cube,
         "price_percentiles_disc": relational.q_price_percentiles_disc,
         "string_functions": scalar_suite.q_string_functions,
         "hash_sample": scalar_suite.q_hash_sample,
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": dedup.q_dup_clusters,
         "fuzzy_vocab_pairs": dedup.q_fuzzy_vocab_pairs,
         "pagerank_neardup": dedup.q_pagerank_neardup,
+        "dup_provenance": dedup.q_dup_provenance,
         # similarity search
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "knn_ivf": similarity.q_knn_ivf,
@@ -148,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_view_before_click": events.Q_ASOF_SQL,
         "quantity_quantiles": relational.Q_QUANTILES_SQL,
         "revenue_rollup": relational.Q_ROLLUP_SQL,
+        "revenue_cube": relational.Q_CUBE_SQL,
         "price_percentiles_disc": relational.Q_PCT_DISC_SQL,
         "string_functions": scalar_suite.Q_STRING_SQL,
         "hash_sample": scalar_suite.Q_HASH_SAMPLE_SQL,
@@ -197,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": dedup.Q_DUP_CLUSTERS_SQL,
         "fuzzy_vocab_pairs": dedup.Q_FUZZY_VOCAB_SQL,
         "pagerank_neardup": dedup.Q_PAGERANK_SQL,
+        "dup_provenance": dedup.Q_DUP_PROVENANCE_SQL,
         "knn_bruteforce": similarity.Q_KNN_SQL,
         "knn_ivf_recall": similarity.Q_KNN_IVF_RECALL_SQL,
         "knn_multi": similarity.Q_KNN_MULTI_SQL,

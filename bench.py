@@ -73,6 +73,7 @@ def run_bench() -> dict:
         relational,
         similarity,
         text_analysis,
+        training_prep,
     )
 
     path = _fixture_path(BENCH_DOCS)
@@ -142,6 +143,8 @@ def run_bench() -> dict:
         "hopping_window_stats": events.q_hopping_window_stats,
         "top_tokens_per_lang": text_analysis.q_top_tokens_per_lang,
         "knn_pq": similarity.q_knn_pq,
+        "chunk_plan": training_prep.q_chunk_plan,
+        "decontaminate": training_prep.q_decontaminate,
     }
     # paired A/B: two interleaved passes over the whole subset in the
     # same session.  The shared host drifts ±25-50% within minutes, so a

@@ -1445,3 +1445,84 @@ r3 AS (SELECT e.b AS v, 0.15 / (SELECT n FROM nn)
 SELECT v AS doc_id, FLOOR(r * 1e6 + 1e-3) / 1e6 AS rank FROM r3
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate provenance: which source shards share near-dup content
+# ---------------------------------------------------------------------------
+
+def q_dup_provenance(sf_dir: str) -> ray.data.Dataset:
+    """Cross-source duplication matrix: near-dup pair counts per
+    (source_a, source_b) shard pair (unordered, LEAST/GREATEST
+    normalized) — the corpus-provenance view that tells you WHICH
+    ingest feeds duplicate each other.
+
+    Scale shape: the near-dup PAIR list (tiny relative to the corpus)
+    hash-joins twice against a column-pruned (doc_id, source) read —
+    the documents table itself is never shuffled — then one groupby
+    over at most |sources|^2 rows."""
+    pairs = q_minhash_lsh_pairs(sf_dir).materialize()
+    out_schema = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()),
+         ("n_pairs", pa.int64())]
+    )
+    if pairs.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def side(name: str):
+        return read_table(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+            lambda t, n=name: pa.table(
+                {f"doc_{n}": pc.cast(t["doc_id"], pa.int64()),
+                 f"source_{n}": t["source"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    joined = pairs.select_columns(["doc_a", "doc_b"]).join(
+        side("a"), join_type="inner", num_partitions=2, on=("doc_a",)
+    ).join(side("b"), join_type="inner", num_partitions=2, on=("doc_b",))
+
+    def normalize(t: pa.Table) -> pa.Table:
+        sa = t["source_a"].to_numpy(zero_copy_only=False)
+        sb = t["source_b"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        return (
+            pa.table({"source_a": pa.array(lo), "source_b": pa.array(hi)})
+            .group_by(["source_a", "source_b"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source_a", "source_b", "n"])
+        )
+
+    agg = (
+        joined.map_batches(normalize, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n_pairs"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source_a" not in t.column_names:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "source_a": t["source_a"],
+                "source_b": t["source_b"],
+                "n_pairs": pc.cast(t["n_pairs"], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return agg.repartition(2).map_batches(finalize, batch_format="pyarrow")
+
+
+Q_DUP_PROVENANCE_SQL = (
+    "WITH base AS MATERIALIZED (" + Q_MINHASH_SQL + """)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM base
+JOIN documents da ON da.doc_id = base.doc_a
+JOIN documents db ON db.doc_id = base.doc_b
+GROUP BY 1, 2
+"""
+)

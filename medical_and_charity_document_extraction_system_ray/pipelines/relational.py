@@ -1080,3 +1080,74 @@ SELECT l_returnflag, n,
              * 1e6) / 1e6 AS corr_qty_price
 FROM s
 """
+
+
+def q_revenue_cube(sf_dir: str) -> ray.data.Dataset:
+    """CUBE(l_returnflag, l_linestatus) revenue: detail rows plus BOTH
+    one-dimension subtotal planes and the grand total, with SQL
+    GROUPING markers — the full grouping-sets lattice.
+
+    Same shape as ``q_revenue_rollup`` (one finest-grain partial
+    aggregate + one shuffle); all coarser planes re-aggregate the tiny
+    detail result, never the fact table."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "price_c": _cents(t["l_extendedprice"]),
+            }
+        ).group_by(["l_returnflag", "l_linestatus"]).aggregate([("price_c", "sum")])
+
+    detail = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("price_c_sum", alias_name="c"))
+    )
+
+    def cube(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        levels = [df.assign(grouping=0)]
+        by_flag = df.groupby("l_returnflag", as_index=False)["c"].sum()
+        by_flag["l_linestatus"] = None
+        by_flag["grouping"] = 1  # GROUPING(flag, status): status rolled up
+        levels.append(by_flag)
+        by_status = df.groupby("l_linestatus", as_index=False)["c"].sum()
+        by_status["l_returnflag"] = None
+        by_status["grouping"] = 2  # flag rolled up
+        levels.append(by_status)
+        levels.append(
+            pd.DataFrame(
+                {"l_returnflag": [None], "l_linestatus": [None],
+                 "c": [df["c"].sum()], "grouping": [3]}
+            )
+        )
+        allr = pd.concat(levels, ignore_index=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(allr["l_returnflag"], type=pa.string()),
+                "l_linestatus": pa.array(allr["l_linestatus"], type=pa.string()),
+                "revenue": pa.array(
+                    (allr["c"].astype("int64") / 100.0), type=pa.float64()
+                ),
+                "grouping": pa.array(allr["grouping"].astype("int64")),
+            }
+        )
+
+    return detail.repartition(1).map_batches(cube, batch_format="pyarrow")
+
+
+Q_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
