@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_quantiles": relational.q_quantity_quantiles,
         "revenue_rollup": relational.q_revenue_rollup,
         "revenue_cube": relational.q_revenue_cube,
+        "brand_basket_pairs": relational.q_brand_basket_pairs,
         "price_percentiles_disc": relational.q_price_percentiles_disc,
         "string_functions": scalar_suite.q_string_functions,
         "hash_sample": scalar_suite.q_hash_sample,
@@ -83,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_moments": events.q_value_moments,
         "watermark_window_stats": events.q_watermark_window_stats,
         "funnel": events.q_funnel,
+        "event_transitions": events.q_event_transitions,
+        "resample_ffill": events.q_resample_ffill,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
@@ -151,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "quantity_quantiles": relational.Q_QUANTILES_SQL,
         "revenue_rollup": relational.Q_ROLLUP_SQL,
         "revenue_cube": relational.Q_CUBE_SQL,
+        "brand_basket_pairs": relational.Q_BASKET_SQL,
         "price_percentiles_disc": relational.Q_PCT_DISC_SQL,
         "string_functions": scalar_suite.Q_STRING_SQL,
         "hash_sample": scalar_suite.Q_HASH_SAMPLE_SQL,
@@ -174,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
         "value_moments": events.Q_MOMENTS_SQL,
         "watermark_window_stats": events.Q_WATERMARK_SQL,
         "funnel": events.Q_FUNNEL_SQL,
+        "event_transitions": events.Q_TRANSITIONS_SQL,
+        "resample_ffill": events.Q_RESAMPLE_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "lang_id": text_analysis.Q_LANG_ID_SQL,

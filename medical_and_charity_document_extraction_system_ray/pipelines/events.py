@@ -857,3 +857,131 @@ SELECT (SELECT COUNT(*) FROM s1) AS n_view,
        (SELECT COUNT(*) FROM s2) AS n_view_click,
        (SELECT COUNT(*) FROM s3) AS n_full_funnel
 """
+
+
+def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """First-order Markov transition counts between consecutive event
+    types per user (ordered by ts, event_id tie-break) — the session-
+    flow matrix behind next-action models.
+
+    Keyed shuffle moves (user_id, event_type, ts, event_id); inside
+    each group one argsort + one shifted comparison produces every
+    (prev, next) pair vectorized, and per-group partial counts keep
+    the final transition groupby at |types|^2 rows."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    out_schema = pa.schema(
+        [("prev_type", pa.string()), ("next_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def transitions(g: pd.DataFrame) -> pa.Table:
+        parts = []
+        for _uid, grp in g.groupby("user_id", sort=False):
+            grp = grp.sort_values(["ts", "event_id"])
+            et = grp["event_type"].to_numpy()
+            if len(et) < 2:
+                continue
+            parts.append(pd.DataFrame({"prev_type": et[:-1], "next_type": et[1:]}))
+        if not parts:
+            return out_schema.empty_table()
+        allp = pd.concat(parts, ignore_index=True)
+        c = allp.value_counts(["prev_type", "next_type"]).reset_index(name="n")
+        return pa.table(
+            {
+                "prev_type": pa.array(c["prev_type"], type=pa.string()),
+                "next_type": pa.array(c["next_type"], type=pa.string()),
+                "n": pa.array(c["n"].astype("int64")),
+            },
+            schema=out_schema,
+        )
+
+    partials = ds.groupby("user_id").map_groups(transitions, batch_format="pandas")
+    return partials.groupby(["prev_type", "next_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+Q_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+def q_resample_ffill(sf_dir: str) -> ray.data.Dataset:
+    """Per-user hourly grid resample with forward fill: for each user,
+    sample the last observed ``value`` at every whole hour between the
+    user's first and last event (grid points BEFORE the first event do
+    not exist by construction) — the gap-filling step before
+    time-series feature extraction.
+
+    Ambiguity guard shared with the SQL oracle: events are first
+    collapsed to one row per (user, ts) keeping the max event_id's
+    value, so the as-of pick is deterministic on duplicate timestamps.
+    Per group: one np.searchsorted of grid points into event times."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("grid_ts", pa.timestamp("us")),
+         ("value", pa.float64())]
+    )
+    hour_us = 3600 * 1_000_000
+
+    def resample(g: pd.DataFrame) -> pa.Table:
+        uids, grids, vals = [], [], []
+        for uid, grp in g.groupby("user_id", sort=False):
+            grp = grp.sort_values(["ts", "event_id"])
+            ts = grp["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            v = grp["value"].to_numpy()
+            # collapse duplicate ts -> last row (max event_id after sort)
+            keep = np.concatenate([ts[1:] != ts[:-1], [True]])
+            ts, v = ts[keep], v[keep]
+            lo = -(-ts[0] // hour_us) * hour_us  # ceil to next whole hour
+            hi = (ts[-1] // hour_us) * hour_us
+            if hi < lo:
+                continue
+            grid = np.arange(lo, hi + hour_us, hour_us, dtype=np.int64)
+            idx = np.searchsorted(ts, grid, side="right") - 1
+            uids.append(np.full(grid.size, uid, dtype=np.int64))
+            grids.append(grid)
+            vals.append(v[idx])
+        if not uids:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate(uids)),
+                "grid_ts": pa.array(np.concatenate(grids)).cast(pa.timestamp("us")),
+                "value": pa.array(np.concatenate(vals), type=pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return ds.groupby("user_id").map_groups(resample, batch_format="pandas")
+
+
+Q_RESAMPLE_SQL = """
+WITH dedup AS (
+  SELECT user_id, ts, value
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+), bounds AS (
+  SELECT user_id,
+         CAST(CEIL(epoch_us(MIN(ts)) / 3600000000.0) AS BIGINT) AS lo_h,
+         epoch_us(MAX(ts)) // 3600000000 AS hi_h
+  FROM dedup GROUP BY user_id
+), grid AS (
+  SELECT user_id, make_timestamp(h * 3600000000) AS grid_ts
+  FROM (SELECT user_id, UNNEST(range(lo_h, hi_h + 1)) AS h
+        FROM bounds WHERE hi_h >= lo_h)
+)
+SELECT g.user_id, g.grid_ts, d.value
+FROM grid g ASOF JOIN dedup d
+  ON g.user_id = d.user_id AND g.grid_ts >= d.ts
+"""
