@@ -71,6 +71,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": relational.q_orders_above_cust_avg,
         "bloom_brand_revenue": relational.q_bloom_brand_revenue,
         "price_qty_correlation": relational.q_price_qty_correlation,
+        "regr_price_by_brand": relational.q_regr_price_by_brand,
+        "brands_returned_not_kept": relational.q_brands_returned_not_kept,
+        "nation_side_counts": relational.q_nation_side_counts,
+        "priority_mode_per_cust": relational.q_priority_mode_per_cust,
+        "nation_rich_names": relational.q_nation_rich_names,
         # stream-shaped
         "hourly_event_stats": events.q_hourly_event_stats,
         "sessionize": events.q_sessionize,
@@ -86,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": events.q_funnel,
         "event_transitions": events.q_event_transitions,
         "resample_ffill": events.q_resample_ffill,
+        "range_views_before_click": events.q_range_views_before_click,
+        "zscore_outliers": events.q_zscore_outliers,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
@@ -95,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text_analysis.q_tfidf_top_terms,
         "conjunctive_search": text_analysis.q_conjunctive_search,
         "repetition_scores": text_analysis.q_repetition_scores,
+        "regex_scan": text_analysis.q_regex_scan,
         # training-data preparation
         "chunk_plan": training_prep.q_chunk_plan,
         "pack_plan": training_prep.q_pack_plan,
@@ -169,6 +177,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_above_cust_avg": relational.Q_ABOVE_AVG_SQL,
         "bloom_brand_revenue": relational.Q_BLOOM_SQL,
         "price_qty_correlation": relational.Q_CORR_SQL,
+        "regr_price_by_brand": relational.Q_REGR_SQL,
+        "brands_returned_not_kept": relational.Q_EXCEPT_SQL,
+        "nation_side_counts": relational.Q_FULL_OUTER_SQL,
+        "priority_mode_per_cust": relational.Q_MODE_SQL,
+        "nation_rich_names": relational.Q_STRING_AGG_SQL,
         "running_user_value": events.Q_RUNNING_SQL,
         "user_event_ranks": events.Q_RANKS_SQL,
         "hopping_window_stats": events.Q_HOPPING_SQL,
@@ -180,6 +193,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel": events.Q_FUNNEL_SQL,
         "event_transitions": events.Q_TRANSITIONS_SQL,
         "resample_ffill": events.Q_RESAMPLE_SQL,
+        "range_views_before_click": events.Q_RANGE_JOIN_SQL,
+        "zscore_outliers": events.Q_ZSCORE_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "lang_id": text_analysis.Q_LANG_ID_SQL,
@@ -188,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": text_analysis.Q_TFIDF_SQL,
         "conjunctive_search": text_analysis.Q_CONJ_SEARCH_SQL,
         "repetition_scores": text_analysis.Q_REPETITION_SQL,
+        "regex_scan": text_analysis.Q_REGEX_SCAN_SQL,
         "chunk_plan": training_prep.Q_CHUNK_SQL,
         "pack_plan": training_prep.Q_PACK_SQL,
         "decontaminate": training_prep.Q_DECON_SQL,

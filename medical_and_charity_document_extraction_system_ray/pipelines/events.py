@@ -985,3 +985,167 @@ SELECT g.user_id, g.grid_ts, d.value
 FROM grid g ASOF JOIN dedup d
   ON g.user_id = d.user_id AND g.grid_ts >= d.ts
 """
+
+
+def q_range_views_before_click(sf_dir: str) -> ray.data.Dataset:
+    """Range (interval) join — for every click, how many views by the
+    same user landed in the hour before it: ts in [click-1h, click).
+    Ray Data has no range join; this is the BUCKET-REPLICATION
+    pattern: each view is replicated into its own hour bucket and the
+    next one, clicks key on their single bucket, an equi-join on
+    (user, bucket) meets every candidate pair EXACTLY once (the two
+    view buckets are distinct, only one can equal the click's), and a
+    vectorized window filter + per-click sum finishes.  Unlike the
+    per-user ``map_groups`` asof (q_asof_view_before_click) this
+    never needs a user's full history in one task — the shuffle key is
+    (user, hour), so even a pathological single user spreads across
+    buckets."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    hour_us = 3600 * 1_000_000
+
+    def clicks_tbl(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        ts_us = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "bucket": pc.divide(ts_us, hour_us),
+                "click_id": t["event_id"],
+                "click_us": ts_us,
+            }
+        )
+
+    def views_tbl(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "view"))
+        ts_us = pc.cast(t["ts"], pa.int64())
+        b0 = pc.divide(ts_us, hour_us)
+        dup = pa.concat_tables(
+            [
+                pa.table({"user_id": t["user_id"], "bucket": b0, "view_us": ts_us}),
+                pa.table(
+                    {
+                        "user_id": t["user_id"],
+                        "bucket": pc.add(b0, 1),
+                        "view_us": ts_us,
+                    }
+                ),
+            ]
+        )
+        return dup
+
+    clicks = ds.map_batches(clicks_tbl, batch_format="pyarrow", zero_copy_batch=True)
+    views = ds.map_batches(views_tbl, batch_format="pyarrow", zero_copy_batch=True)
+
+    j = clicks.join(
+        views, join_type="left_outer", num_partitions=8, on=("user_id", "bucket")
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        lo = pc.subtract(t["click_us"], hour_us)
+        ok = pc.and_kleene(
+            pc.greater_equal(t["view_us"], lo), pc.less(t["view_us"], t["click_us"])
+        )
+        hit = pc.cast(pc.coalesce(ok, False), pa.int64())
+        return (
+            pa.table({"click_id": t["click_id"], "hit": hit})
+            .group_by(["click_id"]).aggregate([("hit", "sum")])
+            .rename_columns(["click_id", "n"])
+        )
+
+    partials = j.map_batches(partial_counts, batch_format="pyarrow")
+    return partials.groupby("click_id").aggregate(Sum("n", alias_name="n_views"))
+
+
+Q_RANGE_JOIN_SQL = """
+SELECT c.event_id AS click_id, COUNT(v.ts) AS n_views
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
+ AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts < c.ts
+GROUP BY 1
+"""
+
+
+def q_zscore_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Population z-score outlier filter: events whose |value - mu| >
+    3 sigma for their event_type.  Two passes: an exact integer-cents
+    moment aggregate collapses to |types| rows on the driver (the
+    broadcast side), then one streaming filter pass recomputes z per
+    row vectorized.  Float parity: mu/sigma/z are derived from the
+    same BIGINT sums with the same IEEE-754 op order as the SQL
+    oracle, so even boundary rows agree bit-exactly."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"]).to_numpy()
+        tmp = pa.table(
+            {
+                "event_type": t["event_type"],
+                "s": pa.array(c),
+                "s2": pa.array(c * c),
+            }
+        )
+        return tmp.group_by(["event_type"]).aggregate(
+            [("s", "sum"), ("s2", "sum"), ("s", "count")]
+        )
+
+    stats = (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("s_sum", alias_name="s"),
+            Sum("s2_sum", alias_name="s2"),
+            Sum("s_count", alias_name="n"),
+        )
+        .take_all()
+    )
+    types = sorted(r["event_type"] for r in stats)
+    by_type = {r["event_type"]: r for r in stats}
+    mu, sd = np.empty(len(types)), np.empty(len(types))
+    for i, ty in enumerate(types):
+        r = by_type[ty]
+        nf, sf, s2f = float(r["n"]), float(r["s"]), float(r["s2"])
+        m = sf / nf
+        var = (s2f - sf * sf / nf) / nf
+        mu[i] = m
+        sd[i] = np.sqrt(var)
+    type_arr = pa.array(types, type=pa.string())
+
+    def flag(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["event_type"], value_set=type_arr).to_numpy(
+            zero_copy_only=False
+        )
+        c = _cents(t["value"]).to_numpy().astype(np.float64)
+        z = (c - mu[idx]) / sd[idx]
+        keep = np.abs(z) > 3.0
+        return pa.table(
+            {
+                "event_id": pa.array(t["event_id"].to_numpy(zero_copy_only=False)[keep]),
+                "event_type": pc.array_filter(t["event_type"], pa.array(keep)),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_ZSCORE_SQL = """
+WITH st AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)
+                * CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY 1
+), m AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         SQRT((CAST(s2 AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE)) AS sd
+  FROM st
+)
+SELECT e.event_id, e.event_type
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE ABS((CAST(CAST(FLOOR(e.value*100 + 0.5) AS BIGINT) AS DOUBLE) - m.mu) / m.sd)
+      > 3.0
+"""

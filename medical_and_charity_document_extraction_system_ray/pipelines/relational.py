@@ -1221,3 +1221,292 @@ FROM lb a JOIN lb b
   ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped ordinary-least-squares regression from exact integer partials
+# ---------------------------------------------------------------------------
+
+def q_regr_price_by_brand(sf_dir: str) -> ray.data.Dataset:
+    """Per-brand OLS fit of extendedprice (y) on quantity (x): slope and
+    intercept — the grouped regr_slope/regr_intercept aggregate.
+
+    Partials are the five exact integer sums (n, Σx, Σy, Σxy, Σx²) in
+    cents, pre-reduced per batch so the shuffle moves one row per
+    (batch, brand); the float division happens once per brand at
+    finalize, with the SQL oracle computing the IDENTICAL expression
+    from the same BIGINT sums (bit-equal float64, then a 1e-6 grid as
+    belt-and-braces).  Scale note: Σxy of cents×cents grows ~1e15 per
+    24k-row group — at 10^12-row groups switch the partial dtype to
+    float64 (Kahan) or split the cents scaling."""
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    joined = li.join(part, join_type="inner", num_partitions=8,
+                     on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _cents(t["l_quantity"]).to_numpy()
+        y = _cents(t["l_extendedprice"]).to_numpy()
+        tmp = pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+            }
+        )
+        return tmp.group_by(["p_brand"]).aggregate(
+            [("sx", "sum"), ("sy", "sum"), ("sxy", "sum"), ("sxx", "sum"),
+             ("sx", "count")]
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("p_brand").aggregate(
+        Sum("sx_sum", alias_name="sx"),
+        Sum("sy_sum", alias_name="sy"),
+        Sum("sxy_sum", alias_name="sxy"),
+        Sum("sxx_sum", alias_name="sxx"),
+        Sum("sx_count", alias_name="n"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        sx = t["sx"].to_numpy().astype(np.float64)
+        sy = t["sy"].to_numpy().astype(np.float64)
+        sxy = t["sxy"].to_numpy().astype(np.float64)
+        sxx = t["sxx"].to_numpy().astype(np.float64)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n / 100.0  # back to currency units
+        grid = lambda v: np.floor(v * 1e6 + 1e-3) / 1e6
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "n": t["n"],
+                "slope": pa.array(grid(slope), type=pa.float64()),
+                "intercept": pa.array(grid(intercept), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q_REGR_SQL = """
+WITH s AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)
+                * CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)
+                * CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sxx
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n,
+       FLOOR(((n*sxy - sx*sy) / CAST(n*sxx - sx*sx AS DOUBLE)) * 1e6 + 1e-3) / 1e6
+         AS slope,
+       FLOOR((((sy - ((n*sxy - sx*sy) / CAST(n*sxx - sx*sx AS DOUBLE)) * sx) / n)
+              / 100.0) * 1e6 + 1e-3) / 1e6 AS intercept
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set difference: (supplier, part) pairs seen returned but never kept
+# ---------------------------------------------------------------------------
+
+def q_brands_returned_not_kept(sf_dir: str) -> ray.data.Dataset:
+    """EXCEPT set-op: (suppkey, partkey) pairs that appear on some
+    returned lineitem (l_returnflag = 'R') but on NO non-returned one
+    — without two scans or an anti-join: per-batch
+    (pair, saw_r, saw_other) flag partials, one keyed groupby max,
+    then a vectorized filter.  The pair key is sparse (~1-4 lineitems
+    each) so the result is non-trivially populated at every scale,
+    unlike a brand-level EXCEPT where every brand has both flags."""
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_partkey", "l_returnflag"]
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        is_r = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        tmp = pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "l_partkey": t["l_partkey"],
+                "saw_r": is_r,
+                "saw_other": pc.subtract(1, is_r),
+            }
+        )
+        return tmp.group_by(["l_suppkey", "l_partkey"]).aggregate(
+            [("saw_r", "max"), ("saw_other", "max")]
+        )
+
+    partials = li.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["l_suppkey", "l_partkey"]).aggregate(
+        Max("saw_r_max", alias_name="r"), Max("saw_other_max", alias_name="o")
+    )
+
+    def only_r(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["r"], 1), pc.equal(t["o"], 0))
+        k = t.filter(keep)
+        return pa.table({"l_suppkey": k["l_suppkey"], "l_partkey": k["l_partkey"]})
+
+    return agg.map_batches(only_r, batch_format="pyarrow")
+
+
+Q_EXCEPT_SQL = """
+SELECT l_suppkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT
+SELECT l_suppkey, l_partkey FROM lineitem WHERE l_returnflag <> 'R'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full-outer join of two independent aggregates
+# ---------------------------------------------------------------------------
+
+def q_nation_side_counts(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER join shape: rich-customer count per nation vs
+    rich-supplier count per nation, keeping nations that have only one
+    side (COALESCE 0).  Both sides pre-aggregate before the join so
+    the full-outer exchange moves |nations| rows, not the base tables."""
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    supp = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def cside(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], 8000.0))
+        return pa.table({"nationkey": pc.cast(t["c_nationkey"], pa.int64())}) \
+            .group_by(["nationkey"]).aggregate([([], "count_all")]) \
+            .rename_columns(["nationkey", "pc"])
+
+    def sside(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["s_acctbal"], 8000.0))
+        return pa.table({"nationkey": pc.cast(t["s_nationkey"], pa.int64())}) \
+            .group_by(["nationkey"]).aggregate([([], "count_all")]) \
+            .rename_columns(["nationkey", "ps"])
+
+    c = (cust.map_batches(cside, batch_format="pyarrow")
+         .groupby("nationkey").aggregate(Sum("pc", alias_name="n_cust"))
+         .repartition(2))
+    s = (supp.map_batches(sside, batch_format="pyarrow")
+         .groupby("nationkey").aggregate(Sum("ps", alias_name="n_supp"))
+         .repartition(2))
+
+    j = c.join(s, join_type="full_outer", num_partitions=2, on=("nationkey",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nationkey": t["nationkey"],
+                "n_cust": pc.coalesce(t["n_cust"], pa.scalar(0, pa.int64())),
+                "n_supp": pc.coalesce(t["n_supp"], pa.scalar(0, pa.int64())),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+Q_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_cust
+  FROM customer WHERE c_acctbal > 8000 GROUP BY 1
+), s AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_supp
+  FROM supplier WHERE s_acctbal > 8000 GROUP BY 1
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped mode (most frequent value, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+def q_priority_mode_per_cust(sf_dir: str) -> ray.data.Dataset:
+    """MODE() per group: each customer's most frequent order priority
+    (ties broken toward the lexicographically smallest priority).
+    Per-batch (cust, prio) count partials shrink the shuffle, the
+    exact counts resolve in one keyed groupby, and the argmax reuses
+    the lexsort-first-row pattern — no per-group python loop."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"o_custkey": t["o_custkey"], "prio": t["o_orderpriority"]})
+            .group_by(["o_custkey", "prio"]).aggregate([([], "count_all")])
+            .rename_columns(["o_custkey", "prio", "n"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_custkey", "prio"]).aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        prio = t["prio"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((prio, -n, cust))
+        first = np.concatenate([[True], cust[order][1:] != cust[order][:-1]])
+        w = order[first]
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[w]),
+                "mode_priority": pa.array(prio[w], type=pa.string()),
+                "n_orders": pa.array(n[w]),
+            }
+        )
+
+    # groups are already co-located after the aggregate shuffle; the
+    # argmax only needs all rows of one customer in one block
+    return counts.groupby("o_custkey").map_groups(argmax, batch_format="pyarrow")
+
+
+Q_MODE_SQL = """
+WITH c AS (
+  SELECT o_custkey, o_orderpriority AS prio, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey, prio AS mode_priority, n AS n_orders
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY n DESC, prio) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation per group
+# ---------------------------------------------------------------------------
+
+def q_nation_rich_names(sf_dir: str) -> ray.data.Dataset:
+    """STRING_AGG(... ORDER BY ...) per group: comma-joined names of
+    each nation's customers with acctbal > 9900, name-ordered so the
+    concatenation is deterministic.  The filter runs before the
+    shuffle; the group kernel is one sort + one join per group."""
+    ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_name", "c_acctbal"])
+    filt = ds.filter(expr="c_acctbal > 9900.0")
+
+    def agg(t: pa.Table) -> pa.Table:
+        names = sorted(t["c_name"].to_pylist())
+        return pa.table(
+            {
+                "c_nationkey": pa.array([int(t["c_nationkey"][0].as_py())], pa.int64()),
+                "names": pa.array([",".join(names)], pa.string()),
+                "n": pa.array([len(names)], pa.int64()),
+            }
+        )
+
+    return filt.groupby("c_nationkey").map_groups(agg, batch_format="pyarrow")
+
+
+Q_STRING_AGG_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       STRING_AGG(c_name, ',' ORDER BY c_name) AS names,
+       COUNT(*) AS n
+FROM customer WHERE c_acctbal > 9900.0
+GROUP BY 1
+"""

@@ -610,3 +610,43 @@ FROM tk t
 LEFT JOIN r2 ON r2.doc_id = t.doc_id
 LEFT JOIN ru ON ru.doc_id = t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Regex pattern scan (the PII/pattern-audit shape)
+# ---------------------------------------------------------------------------
+
+def q_regex_scan(sf_dir: str) -> ray.data.Dataset:
+    """Per-document regex hit counts — the PII / pattern-audit scan
+    (emails, IDs, ...) expressed on patterns this corpus actually
+    contains.  Fully vectorized: one ``pc.count_substring_regex``
+    kernel per pattern per batch (RE2, same engine DuckDB uses, so
+    leftmost-non-overlapping counts agree by construction); no shuffle
+    at all — embarrassingly parallel over blocks."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    pats = {
+        "n_vowel_tok": r"\b[aeiou][a-z]+",
+        "n_ing": r"[a-z]+ing\b",
+        "n_num": r"[0-9]+",
+    }
+
+    def scan(t: pa.Table) -> pa.Table:
+        cols = {"doc_id": t["doc_id"]}
+        for name, pat in pats.items():
+            cols[name] = pc.cast(
+                pc.count_substring_regex(t["text"], pat), pa.int64()
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_REGEX_SCAN_SQL = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\b[aeiou][a-z]+')) AS BIGINT)
+         AS n_vowel_tok,
+       CAST(length(regexp_extract_all(text, '[a-z]+ing\b')) AS BIGINT) AS n_ing,
+       CAST(length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num
+FROM documents
+"""
