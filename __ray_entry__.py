@@ -93,6 +93,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_ffill": events.q_resample_ffill,
         "range_views_before_click": events.q_range_views_before_click,
         "zscore_outliers": events.q_zscore_outliers,
+        "cohort_retention": events.q_cohort_retention,
+        "percent_rank_value": events.q_percent_rank_value,
+        "moving_window_rows": events.q_moving_window_rows,
+        "minmax_scale": events.q_minmax_scale,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
@@ -103,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conjunctive_search": text_analysis.q_conjunctive_search,
         "repetition_scores": text_analysis.q_repetition_scores,
         "regex_scan": text_analysis.q_regex_scan,
+        "token_cooccurrence": text_analysis.q_token_cooccurrence,
         # training-data preparation
         "chunk_plan": training_prep.q_chunk_plan,
         "pack_plan": training_prep.q_pack_plan,
@@ -195,6 +200,10 @@ def oracle_sql() -> dict[str, str]:
         "resample_ffill": events.Q_RESAMPLE_SQL,
         "range_views_before_click": events.Q_RANGE_JOIN_SQL,
         "zscore_outliers": events.Q_ZSCORE_SQL,
+        "cohort_retention": events.Q_COHORT_SQL,
+        "percent_rank_value": events.Q_PERCENT_RANK_SQL,
+        "moving_window_rows": events.Q_MOVING_ROWS_SQL,
+        "minmax_scale": events.Q_MINMAX_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "lang_id": text_analysis.Q_LANG_ID_SQL,
@@ -204,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "conjunctive_search": text_analysis.Q_CONJ_SEARCH_SQL,
         "repetition_scores": text_analysis.Q_REPETITION_SQL,
         "regex_scan": text_analysis.Q_REGEX_SCAN_SQL,
+        "token_cooccurrence": text_analysis.Q_COOCCUR_SQL,
         "chunk_plan": training_prep.Q_CHUNK_SQL,
         "pack_plan": training_prep.Q_PACK_SQL,
         "decontaminate": training_prep.Q_DECON_SQL,

@@ -14,7 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..sources.readers import read_table
 from .relational import _cents
@@ -1148,4 +1148,256 @@ SELECT e.event_id, e.event_type
 FROM events e JOIN m ON e.event_type = m.event_type
 WHERE ABS((CAST(CAST(FLOOR(e.value*100 + 0.5) AS BIGINT) AS DOUBLE) - m.mu) / m.sd)
       > 3.0
+"""
+
+
+def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention matrix: users bucketed by first-active day
+    (the cohort), counted per (cohort_day, offset_days) active day.
+
+    Scale shape: per-batch distinct (user, day) collapse BEFORE the
+    keyed shuffle (an activity log has many events per user-day, the
+    shuffle moves one row per user-day per batch); one
+    groupby(user).map_groups computes each user's cohort and offsets
+    with a local pre-count, so the final (cohort, offset) groupby sums
+    tiny partials.  No driver-side state at all."""
+    day_us = 86400 * 1_000_000
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def user_days(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "day": pc.divide(pc.cast(t["ts"], pa.int64()), day_us),
+                }
+            )
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    distinct = ds.map_batches(user_days, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema(
+        [("cohort_day", pa.int64()), ("offset_days", pa.int64()), ("n", pa.int64())]
+    )
+
+    def per_user(g: pd.DataFrame) -> pa.Table:
+        cohorts, offsets = [], []
+        for _, grp in g.groupby("user_id", sort=False):
+            days = np.unique(grp["day"].to_numpy())  # dedup across batches
+            cohorts.append(np.full(days.size, days[0], dtype=np.int64))
+            offsets.append(days - days[0])
+        if not cohorts:
+            return out_schema.empty_table()
+        t = pa.table(
+            {
+                "cohort_day": pa.array(np.concatenate(cohorts)),
+                "offset_days": pa.array(np.concatenate(offsets)),
+            }
+        )
+        return (
+            t.group_by(["cohort_day", "offset_days"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["cohort_day", "offset_days", "n"])
+        )
+
+    partials = distinct.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return partials.groupby(["cohort_day", "offset_days"]).aggregate(
+        Sum("n", alias_name="n_users")
+    )
+
+
+Q_COHORT_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), c AS (
+  SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY 1
+)
+SELECT c.cohort AS cohort_day, ud.day - c.cohort AS offset_days,
+       COUNT(*) AS n_users
+FROM ud JOIN c ON ud.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+def q_percent_rank_value(sf_dir: str) -> ray.data.Dataset:
+    """PERCENT_RANK() per event_type over the cents value grid —
+    (rank-1)/(n-1) with rank = 1 + count of strictly smaller values.
+
+    Two passes, no keyed shuffle of the fact rows: pass 1 reduces to
+    the exact per-(type, cents) histogram (bounded by the value
+    domain, ~18k rows here — at an unbounded domain swap in the
+    mergeable histogram sketch from ``q_hist_quantiles``); the driver
+    broadcasts per-type sorted cents + cumulative counts, and pass 2
+    ranks every row with one ``searchsorted`` per type per batch.
+    Parity: the single int/int division matches SQL PERCENT_RANK
+    bit-for-bit (no grid needed)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"event_type": t["event_type"], "c": _cents(t["value"])})
+            .group_by(["event_type", "c"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "c", "n"])
+        )
+
+    rows = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["c"], r["n"]))
+    lut = {}
+    for ty, pairs in by_type.items():
+        pairs.sort()
+        cs = np.array([p[0] for p in pairs], dtype=np.int64)
+        ns = np.array([p[1] for p in pairs], dtype=np.int64)
+        below = np.concatenate([[0], np.cumsum(ns)[:-1]])  # strictly-smaller count
+        lut[ty] = (cs, below, int(ns.sum()))
+
+    def rank(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"]).to_numpy()
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        pr = np.zeros(len(t), dtype=np.float64)
+        for ty in np.unique(types):
+            m = types == ty
+            cs, below, n = lut[ty]
+            if n > 1:
+                pr[m] = below[np.searchsorted(cs, c[m])] / (n - 1)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "pr": pa.array(pr, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_PERCENT_RANK_SQL = """
+SELECT event_id, event_type,
+       PERCENT_RANK() OVER (
+         PARTITION BY event_type
+         ORDER BY CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS pr
+FROM events
+"""
+
+
+def q_moving_window_rows(sf_dir: str, k: int = 7) -> ray.data.Dataset:
+    """ROWS-frame window (``ROWS BETWEEN 6 PRECEDING AND CURRENT
+    ROW``): per event, the sum/count of ``value`` over the user's last
+    k events in deterministic (ts, event_id) order — the row-count
+    companion to ``q_rolling_user_value``'s RANGE frame.  One keyed
+    shuffle; inside the group a single prefix-sum serves every
+    window."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("win_value", pa.float64()),
+            ("n_window", pa.int64()),
+        ]
+    )
+
+    def windows(g: pd.DataFrame) -> pa.Table:
+        eids, uids, sums, counts = [], [], [], []
+        for uid, grp in g.groupby("user_id", sort=True):
+            order = np.lexsort((grp["event_id"].to_numpy(), grp["ts"].to_numpy()))
+            eid = grp["event_id"].to_numpy()[order]
+            cents = np.floor(grp["value"].to_numpy()[order] * 100 + 0.5).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(cents)])
+            i = np.arange(eid.size)
+            lo = np.maximum(0, i - (k - 1))
+            eids.append(eid)
+            uids.append(np.full(eid.size, uid, dtype=np.int64))
+            sums.append((csum[i + 1] - csum[lo]) / 100.0)
+            counts.append(i + 1 - lo)
+        if not eids:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(eids), type=pa.int64()),
+                "user_id": pa.array(np.concatenate(uids)),
+                "win_value": pa.array(np.concatenate(sums)),
+                "n_window": pa.array(np.concatenate(counts), type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return ds.groupby("user_id").map_groups(windows, batch_format="pandas")
+
+
+Q_MOVING_ROWS_SQL = """
+SELECT event_id, user_id,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER w / 100.0 AS win_value,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_minmax_scale(sf_dir: str) -> ray.data.Dataset:
+    """Min-max feature scaling per event_type: (v - min) / (max - min)
+    on the cents grid — the normalize-before-training shape.  Exact
+    per-type extrema collapse to |types| rows (broadcast side); the
+    scaling pass streams.  NULL when a type has a single distinct
+    value (denominator 0), matching the SQL NULLIF."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def extrema(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"event_type": t["event_type"], "c": _cents(t["value"])})
+            .group_by(["event_type"])
+            .aggregate([("c", "min"), ("c", "max")])
+            .rename_columns(["event_type", "lo", "hi"])
+        )
+
+    rows = (
+        ds.map_batches(extrema, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .take_all()
+    )
+    lut = {r["event_type"]: (r["lo"], r["hi"]) for r in rows}
+
+    def scale(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"]).to_numpy().astype(np.float64)
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        scaled = np.full(len(t), np.nan)
+        for ty in np.unique(types):
+            lo, hi = lut[ty]
+            if hi > lo:
+                m = types == ty
+                scaled[m] = (c[m] - lo) / (hi - lo)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "scaled": pa.array(scaled, type=pa.float64(), from_pandas=True),
+            }
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_MINMAX_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(cents - MIN(cents) OVER w AS DOUBLE)
+         / NULLIF(MAX(cents) OVER w - MIN(cents) OVER w, 0) AS scaled
+FROM c
+WINDOW w AS (PARTITION BY event_type)
 """

@@ -650,3 +650,102 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence (the topic-modeling / PMI input shape)
+# ---------------------------------------------------------------------------
+
+def q_token_cooccurrence(sf_dir: str, vocab_k: int = 40) -> ray.data.Dataset:
+    """Document-level co-occurrence counts over the top-``vocab_k``
+    vocabulary — the input matrix of every topic-model / PMI / word-
+    embedding pipeline.
+
+    Pass 1 computes exact document frequencies (per-batch distinct
+    (doc, token) collapse, then a token groupby) and takes the top-k
+    vocabulary (df DESC, token ASC) — k rows on the driver.  Pass 2
+    builds a docs×k boolean incidence matrix per batch and gets ALL
+    pair counts from one ``M.T @ M`` int matmul — no per-doc pair
+    loop, and the shuffle moves only k·(k-1)/2 partial rows per batch.
+    Pairs are emitted with tok_a < tok_b lexicographically so the SQL
+    self-join (`a.token < b.token`) lands on identical keys."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        doc = t["doc_id"].combine_chunks().take(parent)
+        tmp = pa.table({"doc_id": doc, "token": flat})
+        return tmp.filter(pc.not_equal(tmp["token"], ""))
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        dt = doc_tokens(t).group_by(["doc_id", "token"]).aggregate([])
+        return (
+            dt.group_by(["token"]).aggregate([([], "count_all")])
+            .rename_columns(["token", "df"])
+        )
+
+    vocab_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(vocab_k)
+        .take_all()
+    )
+    vocab = sorted(r["token"] for r in vocab_rows)  # lexicographic index order
+    vocab_arr = pa.array(vocab, type=pa.string())
+    k = len(vocab)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        dt = doc_tokens(t)
+        idx = pc.index_in(dt["token"], value_set=vocab_arr)
+        keep = pc.is_valid(idx)
+        doc = dt["doc_id"].filter(keep).to_numpy(zero_copy_only=False)
+        col = idx.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        if doc.size == 0:
+            return pa.table(
+                {
+                    "tok_a": pa.array([], pa.string()),
+                    "tok_b": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        _, row = np.unique(doc, return_inverse=True)
+        m = np.zeros((row.max() + 1, k), dtype=np.int64)
+        m[row, col] = 1  # incidence (dedups repeated tokens in a doc)
+        co = m.T @ m
+        ai, bi = np.triu_indices(k, 1)
+        n = co[ai, bi]
+        nz = n > 0
+        return pa.table(
+            {
+                "tok_a": pa.array(np.array(vocab, dtype=object)[ai[nz]], pa.string()),
+                "tok_b": pa.array(np.array(vocab, dtype=object)[bi[nz]], pa.string()),
+                "n": pa.array(n[nz]),
+            }
+        )
+
+    partials = ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["tok_a", "tok_b"]).aggregate(Sum("n", alias_name="n_docs"))
+
+
+Q_COOCCUR_SQL = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tok GROUP BY 1
+), vocab AS (
+  SELECT token FROM df ORDER BY df DESC, token LIMIT 40
+)
+SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS n_docs
+FROM tok a
+JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token
+WHERE a.token IN (SELECT token FROM vocab)
+  AND b.token IN (SELECT token FROM vocab)
+GROUP BY 1, 2
+"""
