@@ -76,6 +76,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_side_counts": relational.q_nation_side_counts,
         "priority_mode_per_cust": relational.q_priority_mode_per_cust,
         "nation_rich_names": relational.q_nation_rich_names,
+        "regional_revenue": relational.q_regional_revenue,
+        "brand_revenue_share": relational.q_brand_revenue_share,
+        "triangle_count": relational.q_triangle_count,
+        "median_price_by_status": relational.q_median_price_by_status,
         # stream-shaped
         "hourly_event_stats": events.q_hourly_event_stats,
         "sessionize": events.q_sessionize,
@@ -97,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_value": events.q_percent_rank_value,
         "moving_window_rows": events.q_moving_window_rows,
         "minmax_scale": events.q_minmax_scale,
+        "props_stats": events.q_props_stats,
         # text analysis
         "doc_stats": text_analysis.q_doc_stats,
         "quality_scores": text_analysis.q_quality_scores,
@@ -187,6 +192,10 @@ def oracle_sql() -> dict[str, str]:
         "nation_side_counts": relational.Q_FULL_OUTER_SQL,
         "priority_mode_per_cust": relational.Q_MODE_SQL,
         "nation_rich_names": relational.Q_STRING_AGG_SQL,
+        "regional_revenue": relational.Q_REGIONAL_REVENUE_SQL,
+        "brand_revenue_share": relational.Q_REVENUE_SHARE_SQL,
+        "triangle_count": relational.Q_TRIANGLES_SQL,
+        "median_price_by_status": relational.Q_MEDIAN_SQL,
         "running_user_value": events.Q_RUNNING_SQL,
         "user_event_ranks": events.Q_RANKS_SQL,
         "hopping_window_stats": events.Q_HOPPING_SQL,
@@ -204,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "percent_rank_value": events.Q_PERCENT_RANK_SQL,
         "moving_window_rows": events.Q_MOVING_ROWS_SQL,
         "minmax_scale": events.Q_MINMAX_SQL,
+        "props_stats": events.Q_PROPS_SQL,
         "doc_stats": text_analysis.Q_DOC_STATS_SQL,
         "quality_scores": text_analysis.Q_QUALITY_SQL,
         "lang_id": text_analysis.Q_LANG_ID_SQL,

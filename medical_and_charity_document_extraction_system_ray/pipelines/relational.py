@@ -1510,3 +1510,273 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
 FROM customer WHERE c_acctbal > 9900.0
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-join star query (TPC-H Q5 shape): revenue per region / nation
+# ---------------------------------------------------------------------------
+
+def q_regional_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue by (region, nation) of the supplying supplier — the
+    4-table star join (lineitem ⨝ supplier ⨝ nation ⨝ region).
+
+    Scale plan: the fact table NEVER joins raw — a per-batch partial
+    aggregate by l_suppkey shrinks it to ≤|supplier| rows before the
+    one keyed hash join against the supplier dimension (supplier
+    scales with the corpus, so it earns a real join); nation and
+    region are constant-size and ride along as a driver-built
+    broadcast dict attached inside ``map_batches``.  One exchange
+    total for a 4-table query."""
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = read_table(sf_dir, "nation").take_all()
+    region = read_table(sf_dir, "region").take_all()
+    rname = {r["r_regionkey"]: r["r_name"] for r in region}
+    nmap = {n["n_nationkey"]: (n["n_name"], rname[n["n_regionkey"]]) for n in nation}
+
+    def partial(t: pa.Table) -> pa.Table:
+        ep = _cents(t["l_extendedprice"]).to_numpy()
+        disc = _cents(t["l_discount"]).to_numpy()
+        return (
+            pa.table({"l_suppkey": t["l_suppkey"], "u": ep * (100 - disc)})
+            .group_by(["l_suppkey"]).aggregate([("u", "sum")])
+            .rename_columns(["l_suppkey", "u"])
+        )
+
+    per_supp = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey").aggregate(Sum("u", alias_name="u"))
+        .repartition(4)  # absorb groupby's empty marker blocks pre-join
+    )
+    j = per_supp.join(supp, join_type="inner", num_partitions=4,
+                      on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def attach(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        names = [nmap[int(k)] for k in nk]  # ≤|nation| distinct, tiny batch
+        return (
+            pa.table(
+                {
+                    "r_name": pa.array([x[1] for x in names], pa.string()),
+                    "n_name": pa.array([x[0] for x in names], pa.string()),
+                    "u": t["u"],
+                }
+            )
+            .group_by(["r_name", "n_name"]).aggregate([("u", "sum")])
+            .rename_columns(["r_name", "n_name", "u"])
+        )
+
+    agg = (
+        j.map_batches(attach, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"]).aggregate(Sum("u", alias_name="u"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": t["r_name"],
+                "n_name": t["n_name"],
+                "revenue": pc.divide(pc.cast(t["u"], pa.float64()), 10000.0),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q_REGIONAL_REVENUE_SQL = """
+SELECT r_name, n_name,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) / 10000.0
+         AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: revenue share per brand
+# ---------------------------------------------------------------------------
+
+def q_brand_revenue_share(sf_dir: str) -> pa.Table:
+    """Each brand's share of total revenue (ratio-to-report window
+    shape).  The distributed part collapses to |brands| exact integer
+    rows; the grand total and the single share division happen on the
+    driver over those 25 rows.  int/int → float64 is one IEEE op on
+    both engines — bit-equal, no grid."""
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    j = li.join(part, join_type="inner", num_partitions=8,
+                on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ep = _cents(t["l_extendedprice"]).to_numpy()
+        disc = _cents(t["l_discount"]).to_numpy()
+        return (
+            pa.table({"p_brand": t["p_brand"], "u": ep * (100 - disc)})
+            .group_by(["p_brand"]).aggregate([("u", "sum")])
+            .rename_columns(["p_brand", "u"])
+        )
+
+    rows = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand").aggregate(Sum("u", alias_name="u"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["p_brand"])
+    u = np.array([r["u"] for r in rows], dtype=np.int64)
+    total = np.float64(u.sum())
+    return pa.table(
+        {
+            "p_brand": pa.array([r["p_brand"] for r in rows], pa.string()),
+            "revenue": pa.array(u.astype(np.float64) / 10000.0),
+            "share": pa.array(u.astype(np.float64) / total),
+        }
+    )
+
+
+Q_REVENUE_SHARE_SQL = """
+WITH b AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+              * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) AS BIGINT) AS u
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+)
+SELECT p_brand, u / 10000.0 AS revenue,
+       CAST(u AS DOUBLE) / CAST(SUM(u) OVER () AS DOUBLE) AS share
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed triangle counting (graph 3-cycle via two-hop joins)
+# ---------------------------------------------------------------------------
+
+def q_triangle_count(sf_dir: str) -> pa.Table:
+    """Triangles in the brand co-purchase graph — the canonical
+    multi-way-join graph pattern.  Edges = basket pairs with
+    above-average support (the exact integer comparison n·|pairs| > Σn
+    so the cut transfers across corpus scales); triangles come from
+    two DISTRIBUTED hash joins (edge ⨝ edge on the middle vertex →
+    wedges, wedge ⨝ edge on the closing pair), never an adjacency
+    matrix on the driver — the same plan works when the graph doesn't
+    fit one node.  a<b edge orientation makes each triangle match
+    exactly once."""
+    pairs = q_brand_basket_pairs(sf_dir).materialize()
+    stats = pairs.aggregate(Sum("n_orders", alias_name="s"), Count(alias_name="c"))
+    s, c = stats["s"], stats["c"]
+
+    def cut(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(pc.multiply(t["n_orders"], c), s))
+
+    edges = pairs.map_batches(cut, batch_format="pyarrow").materialize()
+
+    e1 = edges.map_batches(
+        lambda t: pa.table({"x": t["brand_a"], "y": t["brand_b"]}),
+        batch_format="pyarrow",
+    ).repartition(4)
+    e2 = edges.map_batches(
+        lambda t: pa.table({"y2": t["brand_a"], "z": t["brand_b"]}),
+        batch_format="pyarrow",
+    ).repartition(4)
+    e3 = edges.map_batches(
+        lambda t: pa.table({"xc": t["brand_a"], "zc": t["brand_b"]}),
+        batch_format="pyarrow",
+    ).repartition(4)
+
+    wedges = e1.join(e2, join_type="inner", num_partitions=4,
+                     on=("y",), right_on=("y2",))
+    tri = wedges.join(e3, join_type="inner", num_partitions=4,
+                      on=("x", "z"), right_on=("xc", "zc"))
+    return pa.table({"n_triangles": pa.array([tri.count()], pa.int64())})
+
+
+Q_TRIANGLES_SQL = """
+WITH lb AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), p AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n
+  FROM lb a JOIN lb b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+), m AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS s, COUNT(*) AS c FROM p
+), e AS (
+  SELECT brand_a, brand_b FROM p, m WHERE n * c > s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.brand_a = e1.brand_b
+JOIN e e3 ON e3.brand_a = e1.brand_a AND e3.brand_b = e2.brand_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped median from the broadcast value histogram
+# ---------------------------------------------------------------------------
+
+def q_median_price_by_status(sf_dir: str) -> pa.Table:
+    """Exact per-group MEDIAN (the two-middle average for even n) of
+    o_totalprice by order status — computed from the per-(group,
+    cents) histogram, never a per-group sort of the raw rows: the
+    histogram partials shrink to the value domain, the driver resolves
+    the two order statistics per group with one cumsum+searchsorted.
+    (a+b)/2.0/100.0 mirrors the SQL AVG-of-two-middles op order."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"st": t["o_orderstatus"], "c": _cents(t["o_totalprice"])})
+            .group_by(["st", "c"]).aggregate([([], "count_all")])
+            .rename_columns(["st", "c", "n"])
+        )
+
+    rows = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["st", "c"]).aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    by_st: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_st.setdefault(r["st"], []).append((r["c"], r["n"]))
+    sts, meds, ns = [], [], []
+    for st in sorted(by_st):
+        pairs = sorted(by_st[st])
+        cs = np.array([p[0] for p in pairs], dtype=np.int64)
+        cnt = np.array([p[1] for p in pairs], dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        lo_rank, hi_rank = (n + 1) // 2, n // 2 + 1
+        a = cs[np.searchsorted(cum, lo_rank, side="left")]
+        b = cs[np.searchsorted(cum, hi_rank, side="left")]
+        sts.append(st)
+        meds.append((a + b) / 2.0 / 100.0)
+        ns.append(n)
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(sts, pa.string()),
+            "median_price": pa.array(meds, pa.float64()),
+            "n": pa.array(ns, pa.int64()),
+        }
+    )
+
+
+Q_MEDIAN_SQL = """
+WITH c AS (
+  SELECT o_orderstatus, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT o_orderstatus, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM c
+)
+SELECT o_orderstatus, AVG(cents) / 100.0 AS median_price,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM r WHERE rn IN ((n + 1) // 2, n // 2 + 1)
+GROUP BY 1
+"""
