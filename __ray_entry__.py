@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": text_analysis.q_repetition_scores,
         "regex_scan": text_analysis.q_regex_scan,
         "token_cooccurrence": text_analysis.q_token_cooccurrence,
+        "unpivot_doc_metrics": text_analysis.q_unpivot_doc_metrics,
         # training-data preparation
         "chunk_plan": training_prep.q_chunk_plan,
         "pack_plan": training_prep.q_pack_plan,
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": dedup.q_embedding_neardup,
         "embedding_neardup_lsh": dedup.q_embedding_neardup_lsh,
         "dup_clusters": dedup.q_dup_clusters,
+        "dup_canonical": dedup.q_dup_canonical,
         "fuzzy_vocab_pairs": dedup.q_fuzzy_vocab_pairs,
         "pagerank_neardup": dedup.q_pagerank_neardup,
         "dup_provenance": dedup.q_dup_provenance,
@@ -224,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": text_analysis.Q_REPETITION_SQL,
         "regex_scan": text_analysis.Q_REGEX_SCAN_SQL,
         "token_cooccurrence": text_analysis.Q_COOCCUR_SQL,
+        "unpivot_doc_metrics": text_analysis.Q_UNPIVOT_SQL,
         "chunk_plan": training_prep.Q_CHUNK_SQL,
         "pack_plan": training_prep.Q_PACK_SQL,
         "decontaminate": training_prep.Q_DECON_SQL,
@@ -240,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": dedup.Q_EMB_NEARDUP_SQL,
         "embedding_neardup_lsh": dedup.Q_EMB_NEARDUP_LSH_SQL,
         "dup_clusters": dedup.Q_DUP_CLUSTERS_SQL,
+        "dup_canonical": dedup.Q_DUP_CANONICAL_SQL,
         "fuzzy_vocab_pairs": dedup.Q_FUZZY_VOCAB_SQL,
         "pagerank_neardup": dedup.Q_PAGERANK_SQL,
         "dup_provenance": dedup.Q_DUP_PROVENANCE_SQL,

@@ -1526,3 +1526,82 @@ JOIN documents db ON db.doc_id = base.doc_b
 GROUP BY 1, 2
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection: the keep/drop end step of corpus dedup
+# ---------------------------------------------------------------------------
+
+def q_dup_canonical(sf_dir: str) -> ray.data.Dataset:
+    """KEEP/DROP decision per clustered document: each near-dup cluster
+    keeps its longest member (tie → smallest doc_id), everyone else in
+    the cluster is dropped — the step that actually shrinks a training
+    corpus after pair detection + clustering.
+
+    Scale shape: the cluster labels (only near-dup members — tiny
+    relative to the corpus) hash-join the documents table on doc_id to
+    pick up lengths, then one keyed ``map_groups`` argmax per cluster
+    with the vectorized lexsort-first-row pattern.  The corpus itself
+    is scanned once, two columns only."""
+    clusters = q_dup_clusters(sf_dir).materialize()
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("cluster_rep", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("keep", pa.bool_()),
+        ]
+    )
+    if clusters.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    j = clusters.repartition(2).join(
+        docs, join_type="inner", num_partitions=2, on=("doc_id",)
+    )
+
+    def decide(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return out_schema.empty_table()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        rep = t["cluster_rep"].to_numpy(zero_copy_only=False)
+        nch = pc.cast(t["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, -nch, rep))
+        first = np.concatenate([[True], rep[order][1:] != rep[order][:-1]])
+        keep = np.zeros(doc.size, dtype=bool)
+        keep[order[first]] = True
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "cluster_rep": pa.array(rep, pa.int64()),
+                "n_chars": pa.array(nch, pa.int64()),
+                "keep": pa.array(keep),
+            },
+            schema=out_schema,
+        )
+
+    return j.groupby("cluster_rep").map_groups(decide, batch_format="pyarrow")
+
+
+Q_DUP_CANONICAL_SQL = (
+    "WITH RECURSIVE base AS (" + Q_MINHASH_SQL + """),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM base
+  UNION
+  SELECT doc_b, doc_a FROM base
+),
+walk(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN e ON w.b = e.a WHERE e.b <> w.a
+),
+cl AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep FROM walk GROUP BY a
+)
+SELECT cl.doc_id, cl.cluster_rep, CAST(d.n_chars AS BIGINT) AS n_chars,
+       (ROW_NUMBER() OVER (PARTITION BY cl.cluster_rep
+                           ORDER BY d.n_chars DESC, cl.doc_id) = 1) AS keep
+FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+"""
+)

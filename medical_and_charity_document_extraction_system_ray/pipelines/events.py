@@ -1033,8 +1033,16 @@ def q_range_views_before_click(sf_dir: str) -> ray.data.Dataset:
         )
         return dup
 
-    clicks = ds.map_batches(clicks_tbl, batch_format="pyarrow", zero_copy_batch=True)
-    views = ds.map_batches(views_tbl, batch_format="pyarrow", zero_copy_batch=True)
+    # repartition before the join: a read block whose rows ALL filter
+    # away keeps its pre-map schema (map_batches never runs on empty
+    # blocks) and poisons the join's FieldRef resolution — the
+    # repartition re-blocks everything to the mapped schema
+    clicks = ds.map_batches(
+        clicks_tbl, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(4)
+    views = ds.map_batches(
+        views_tbl, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(4)
 
     j = clicks.join(
         views, join_type="left_outer", num_partitions=8, on=("user_id", "bucket")

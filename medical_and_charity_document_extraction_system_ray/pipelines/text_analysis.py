@@ -749,3 +749,51 @@ WHERE a.token IN (SELECT token FROM vocab)
   AND b.token IN (SELECT token FROM vocab)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: wide per-doc metrics to long (doc_id, metric, value)
+# ---------------------------------------------------------------------------
+
+def q_unpivot_doc_metrics(sf_dir: str) -> ray.data.Dataset:
+    """Wide→long reshape (UNPIVOT/melt): each document's metrics
+    emitted as (doc_id, metric, value) rows — the feature-store /
+    metrics-table layout.  Pure per-batch stacking (one table concat
+    per batch, metric name as a dictionary-ish constant column), no
+    shuffle, streams at any size."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        toks = pc.cast(token_count(t["text"]), pa.int64())
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "doc_id": t["doc_id"],
+                        "metric": pa.array(["n_chars"] * n, pa.string()),
+                        "value": pc.cast(t["n_chars"], pa.int64()),
+                    }
+                ),
+                pa.table(
+                    {
+                        "doc_id": t["doc_id"],
+                        "metric": pa.array(["n_tokens"] * n, pa.string()),
+                        "value": toks,
+                    }
+                ),
+            ]
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_UNPIVOT_SQL = """
+SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS value
+FROM documents
+UNION ALL
+SELECT doc_id, 'n_tokens' AS metric,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+FROM documents
+"""

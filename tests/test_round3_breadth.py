@@ -1,0 +1,126 @@
+"""Edge-semantics tests for the late-round-3 breadth operators (the
+driver gate value-checks them against DuckDB at sf0.01/sf0.1; these pin
+the corner semantics with hand-built fixtures): range-join boundary
+inclusion and exactly-once pairing across hour buckets, ROWS-frame
+tie-break, PERCENT_RANK tie sharing, min-max degenerate range, cohort
+offsets, and co-occurrence incidence (not occurrence) counting."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, ts_us, user_id, value, event_type=None):
+    n = len(ts_us)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(np.asarray(ts_us, np.int64)).view(pa.timestamp("us")),
+            "user_id": pa.array(user_id, pa.int64()),
+            "event_type": pa.array(event_type or ["click"] * n),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_range_join_boundaries_and_exactly_once(tmp_path):
+    """View at click-1h is IN (>=), at click ts is OUT (<); a view is
+    never double-counted even though it is replicated into two hour
+    buckets."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_range_views_before_click,
+    )
+
+    hour = 3600 * 1_000_000
+    t0 = 1_700_003_000 * 1_000_000  # NOT hour-aligned: view/click straddle buckets
+    ts = [t0, t0 - hour, t0 - hour - 1, t0 - 1, t0]
+    types = ["click", "view", "view", "view", "view"]
+    sf = _write_events(tmp_path, ts, [1] * 5, [0.0] * 5, types)
+    out = q_range_views_before_click(sf).to_pandas()
+    assert len(out) == 1
+    assert int(out["n_views"].iloc[0]) == 2  # boundary-in + just-before
+
+
+def test_moving_window_rows_tiebreak(tmp_path):
+    """Same-ts rows order by event_id; each sees only earlier peers."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_moving_window_rows,
+    )
+
+    t0 = 1_700_000_000 * 1_000_000
+    sf = _write_events(tmp_path, [t0] * 3, [5] * 3, [1.0, 2.0, 4.0])
+    out = (
+        q_moving_window_rows(sf).to_pandas().sort_values("event_id")
+    )
+    assert out["win_value"].tolist() == [1.0, 3.0, 7.0]
+    assert out["n_window"].tolist() == [1, 2, 3]
+
+
+def test_percent_rank_ties_and_singleton(tmp_path):
+    """Tied values share (rank-1)/(n-1); a single-row partition is 0."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_percent_rank_value,
+    )
+
+    t0 = 1_700_000_000 * 1_000_000
+    sf = _write_events(
+        tmp_path, [t0] * 4, [1, 2, 3, 4], [1.0, 1.0, 2.0, 9.0],
+        ["a", "a", "a", "b"],
+    )
+    out = q_percent_rank_value(sf).to_pandas().sort_values("event_id")
+    assert out[out.event_type == "a"]["pr"].tolist() == [0.0, 0.0, 1.0]
+    assert out[out.event_type == "b"]["pr"].tolist() == [0.0]
+
+
+def test_minmax_scale_degenerate_range_is_null(tmp_path):
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_minmax_scale,
+    )
+
+    t0 = 1_700_000_000 * 1_000_000
+    sf = _write_events(
+        tmp_path, [t0] * 4, [1, 2, 3, 4], [5.0, 5.0, 1.0, 3.0],
+        ["flat", "flat", "v", "v"],
+    )
+    out = q_minmax_scale(sf).to_pandas().sort_values("event_id")
+    flat = out[out.event_type == "flat"]["scaled"]
+    assert flat.isna().all()
+    assert out[out.event_type == "v"]["scaled"].tolist() == [0.0, 1.0]
+
+
+def test_cohort_retention_offsets(tmp_path):
+    """A user active on days d, d+2 lands in cohort d with offsets
+    {0, 2}; a second same-day event adds nothing (user-day distinct)."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_cohort_retention,
+    )
+
+    day = 86400 * 1_000_000
+    d0 = 19_000 * day
+    ts = [d0, d0 + 1, d0 + 2 * day, d0 + 2 * day + day // 2]
+    sf = _write_events(tmp_path, ts, [9] * 4, [0.0] * 4)
+    out = q_cohort_retention(sf).to_pandas().sort_values("offset_days")
+    assert out["cohort_day"].tolist() == [19_000, 19_000]
+    assert out["offset_days"].tolist() == [0, 2]
+    assert out["n_users"].tolist() == [1, 1]
+
+
+def test_token_cooccurrence_counts_documents_not_occurrences(tmp_path):
+    from medical_and_charity_document_extraction_system_ray.pipelines.text_analysis import (
+        q_token_cooccurrence,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a a", "b a", "c only"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = q_token_cooccurrence(str(tmp_path)).to_pandas()
+    pair = out[(out.tok_a == "a") & (out.tok_b == "b")]
+    assert int(pair["n_docs"].iloc[0]) == 2  # doc 1 counts once despite "a" x3
+    assert not ((out.tok_a == "c") & (out.tok_b == "only")).empty
