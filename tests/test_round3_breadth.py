@@ -124,3 +124,27 @@ def test_token_cooccurrence_counts_documents_not_occurrences(tmp_path):
     pair = out[(out.tok_a == "a") & (out.tok_b == "b")]
     assert int(pair["n_docs"].iloc[0]) == 2  # doc 1 counts once despite "a" x3
     assert not ((out.tok_a == "c") & (out.tok_b == "only")).empty
+
+
+def test_dup_canonical_keeps_longest(tmp_path):
+    """Two near-identical docs cluster; the LONGER one is kept, the
+    shorter dropped; the unrelated doc never appears in the output."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_dup_canonical,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array([base, base + "and then some extra", "zzz totally different"]),
+            "n_chars": pa.array(
+                [len(base), len(base) + 19, 21], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = q_dup_canonical(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [10, 11]
+    assert out["keep"].tolist() == [False, True]  # 11 is longer
+    assert (out["cluster_rep"] == 10).all()
