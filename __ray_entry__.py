@@ -114,10 +114,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_scan": text_analysis.q_regex_scan,
         "token_cooccurrence": text_analysis.q_token_cooccurrence,
         "unpivot_doc_metrics": text_analysis.q_unpivot_doc_metrics,
+        "inverted_index": text_analysis.q_inverted_index,
         # training-data preparation
         "chunk_plan": training_prep.q_chunk_plan,
         "pack_plan": training_prep.q_pack_plan,
         "decontaminate": training_prep.q_decontaminate,
+        "source_mixing_weights": training_prep.q_source_mixing_weights,
         "quality_threshold_filter": training_prep.q_quality_threshold_filter,
         "global_index": training_prep.q_global_index,
         # sketches
@@ -227,9 +229,11 @@ def oracle_sql() -> dict[str, str]:
         "regex_scan": text_analysis.Q_REGEX_SCAN_SQL,
         "token_cooccurrence": text_analysis.Q_COOCCUR_SQL,
         "unpivot_doc_metrics": text_analysis.Q_UNPIVOT_SQL,
+        "inverted_index": text_analysis.Q_INVERTED_INDEX_SQL,
         "chunk_plan": training_prep.Q_CHUNK_SQL,
         "pack_plan": training_prep.Q_PACK_SQL,
         "decontaminate": training_prep.Q_DECON_SQL,
+        "source_mixing_weights": training_prep.Q_MIXING_SQL,
         "quality_threshold_filter": training_prep.Q_QUALITY_FILTER_SQL,
         "global_index": training_prep.Q_GLOBAL_INDEX_SQL,
         "distinct_users_exact": sketches.Q_DISTINCT_USERS_SQL,

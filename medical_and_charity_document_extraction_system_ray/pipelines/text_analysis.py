@@ -16,7 +16,13 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from ..functions.text import char_counts_nospace, digit_count, fingerprint64, token_count
+from ..functions.text import (
+    char_counts_nospace,
+    digit_count,
+    fingerprint64,
+    horner_mod64,
+    token_count,
+)
 from ..sources.readers import read_table
 
 
@@ -796,4 +802,93 @@ SELECT doc_id, 'n_tokens' AS metric,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (token → ordered postings, fingerprinted)
+# ---------------------------------------------------------------------------
+
+def q_inverted_index(sf_dir: str) -> ray.data.Dataset:
+    """Build the inverted index: per token its document frequency,
+    postings range, and a 64-bit Horner fingerprint of the ORDERED
+    postings list — the search-index-construction shape (the
+    fingerprint stands in for shipping the full postings in the gate
+    result; the list itself stays distributed).
+
+    One token explode with per-batch (doc, token) distinct (each doc
+    lives in one batch, so batch-distinct IS global), a keyed groupby,
+    and a vectorized sort+Horner per token.  Matches the DuckDB
+    list_reduce expression bit-for-bit."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def doc_tok(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        doc = t["doc_id"].combine_chunks().take(parent)
+        tmp = pa.table({"token": flat, "doc_id": doc})
+        tmp = tmp.filter(pc.not_equal(tmp["token"], ""))
+        return tmp.group_by(["token", "doc_id"]).aggregate([])
+
+    out_schema = pa.schema(
+        [
+            ("token", pa.string()),
+            ("df", pa.int64()),
+            ("min_doc", pa.int64()),
+            ("max_doc", pa.int64()),
+            ("postings_fp", pa.int64()),
+        ]
+    )
+
+    def build(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "token" not in g.column_names:
+            return out_schema.empty_table()
+        toks = g["token"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, toks))
+        toks, ids = toks[order], ids[order]
+        first = np.concatenate([[True], toks[1:] != toks[:-1]])
+        row_of = np.cumsum(first) - 1
+        n_rows = int(row_of[-1]) + 1
+        fp = horner_mod64(ids.astype(np.uint64), row_of, n_rows)
+        starts = np.flatnonzero(first)
+        lengths = np.diff(np.concatenate([starts, [ids.size]]))
+        return pa.table(
+            {
+                "token": pa.array(toks[starts], pa.string()),
+                "df": pa.array(lengths, pa.int64()),
+                "min_doc": pa.array(ids[starts]),
+                "max_doc": pa.array(ids[starts + lengths - 1]),
+                "postings_fp": pa.array(fp.astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    partials = ds.map_batches(doc_tok, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("token").map_groups(build, batch_format="pyarrow")
+
+
+Q_INVERTED_INDEX_SQL = r"""
+WITH dt AS (
+  SELECT DISTINCT token, doc_id FROM (
+    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), l AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+         MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+         list(doc_id ORDER BY doc_id) AS ids
+  FROM dt GROUP BY token
+), h AS (
+  SELECT token, df, min_doc, max_doc,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             list_transform(ids, i -> CAST(i AS HUGEINT))),
+             (a, x) -> (a * 1099511628211 + x) % 18446744073709551616) AS hu
+  FROM l
+)
+SELECT token, df, min_doc, max_doc,
+       CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+            ELSE hu END AS BIGINT) AS postings_fp
+FROM h
 """

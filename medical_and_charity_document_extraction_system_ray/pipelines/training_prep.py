@@ -462,3 +462,58 @@ SELECT doc_id, source,
        ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS global_row
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Source mixing weights (temperature sampling over corpus shards)
+# ---------------------------------------------------------------------------
+
+def q_source_mixing_weights(sf_dir: str) -> pa.Table:
+    """Per-source sampling weights for temperature-based data mixing
+    (p_s ∝ n_s^0.5, the sqrt temperature used to up-weight small
+    sources in multilingual / multi-corpus training).
+
+    The distributed part is one count-per-source groupby (|sources|
+    rows on the driver); sqrt is IEEE-correctly-rounded in both
+    engines, the share division is one op, and the 1e-6 grid absorbs
+    denominator sum-order ulps.  alpha=0.5 deliberately: pow(x, a)
+    for general a is not guaranteed bit-equal across libms."""
+    ds = read_table(sf_dir, "documents", columns=["source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["source"]).aggregate([([], "count_all")])
+            .rename_columns(["source", "n"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source").aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["source"])
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    w = np.sqrt(n.astype(np.float64))
+    tot = w.sum()
+    grid = lambda v: np.floor(v * 1e6 + 1e-3) / 1e6
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_docs": pa.array(n),
+            "w": pa.array(grid(w), pa.float64()),
+            "p": pa.array(grid(w / tot), pa.float64()),
+        }
+    )
+
+
+Q_MIXING_SQL = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+), t AS (
+  SELECT SUM(SQRT(CAST(n AS DOUBLE))) AS tot FROM s
+)
+SELECT source, n AS n_docs,
+       FLOOR(SQRT(CAST(n AS DOUBLE)) * 1e6 + 1e-3) / 1e6 AS w,
+       FLOOR(SQRT(CAST(n AS DOUBLE)) / tot * 1e6 + 1e-3) / 1e6 AS p
+FROM s, t
+"""
