@@ -1532,7 +1532,11 @@ def q_regional_revenue(sf_dir: str) -> ray.data.Dataset:
     nation = read_table(sf_dir, "nation").take_all()
     region = read_table(sf_dir, "region").take_all()
     rname = {r["r_regionkey"]: r["r_name"] for r in region}
-    nmap = {n["n_nationkey"]: (n["n_name"], rname[n["n_regionkey"]]) for n in nation}
+    nk_arr = pa.array([n["n_nationkey"] for n in nation])
+    nname_arr = pa.array([n["n_name"] for n in nation], pa.string())
+    rname_arr = pa.array(
+        [rname[n["n_regionkey"]] for n in nation], pa.string()
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         ep = _cents(t["l_extendedprice"]).to_numpy()
@@ -1552,13 +1556,13 @@ def q_regional_revenue(sf_dir: str) -> ray.data.Dataset:
                       on=("l_suppkey",), right_on=("s_suppkey",))
 
     def attach(t: pa.Table) -> pa.Table:
-        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
-        names = [nmap[int(k)] for k in nk]  # ≤|nation| distinct, tiny batch
+        # vectorized dim attach: one index_in + two takes per batch
+        idx = pc.index_in(pc.cast(t["s_nationkey"], nk_arr.type), value_set=nk_arr)
         return (
             pa.table(
                 {
-                    "r_name": pa.array([x[1] for x in names], pa.string()),
-                    "n_name": pa.array([x[0] for x in names], pa.string()),
+                    "r_name": rname_arr.take(idx),
+                    "n_name": nname_arr.take(idx),
                     "u": t["u"],
                 }
             )
