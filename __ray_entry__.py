@@ -19,6 +19,7 @@ from collections.abc import Callable
 from typing import Any
 
 from medical_and_charity_document_extraction_system_ray.pipelines import (
+    cleaning,
     dedup,
     events,
     extraction_query,
@@ -115,6 +116,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_cooccurrence": text_analysis.q_token_cooccurrence,
         "unpivot_doc_metrics": text_analysis.q_unpivot_doc_metrics,
         "inverted_index": text_analysis.q_inverted_index,
+        # corpus cleaning
+        "pattern_redaction": cleaning.q_pattern_redaction,
+        "stopword_filter": cleaning.q_stopword_filter,
+        "unigram_lm_scores": cleaning.q_unigram_lm_scores,
+        "token_diversity": cleaning.q_token_diversity,
         # training-data preparation
         "chunk_plan": training_prep.q_chunk_plan,
         "pack_plan": training_prep.q_pack_plan,
@@ -230,6 +236,10 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence": text_analysis.Q_COOCCUR_SQL,
         "unpivot_doc_metrics": text_analysis.Q_UNPIVOT_SQL,
         "inverted_index": text_analysis.Q_INVERTED_INDEX_SQL,
+        "pattern_redaction": cleaning.Q_REDACTION_SQL,
+        "stopword_filter": cleaning.Q_STOPWORD_SQL,
+        "unigram_lm_scores": cleaning.Q_UNIGRAM_LM_SQL,
+        "token_diversity": cleaning.Q_TOKEN_DIVERSITY_SQL,
         "chunk_plan": training_prep.Q_CHUNK_SQL,
         "pack_plan": training_prep.Q_PACK_SQL,
         "decontaminate": training_prep.Q_DECON_SQL,

@@ -1,0 +1,307 @@
+"""Corpus-cleaning operators — the scrub/filter/score stages a
+training-data pipeline runs before tokenization: pattern redaction,
+stopword filtering, corpus-LM quality scoring, token-diversity scoring.
+
+All stages are stateless vectorized ``map_batches`` over Arrow batches
+(RE2 kernels / numpy segment math); the unigram-LM pass broadcasts the
+corpus vocabulary once via ``ray.put`` (31 tokens here; at real vocab
+scale swap the broadcast for a hash join on token, same as the TF-IDF
+stage documents).  The reference has no corpus-cleaning surface — these
+extend the engine for LLM-data preparation per the brief; the redaction
+semantics (regex find/replace producing both the cleaned text and a hit
+count) mirror every production PII-scrub stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.text import floor6, token_count
+from ..sources.readers import read_table
+
+
+def _arr(x: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Collapse a (possibly chunked) column to a single Array."""
+    if isinstance(x, pa.ChunkedArray):
+        return x.combine_chunks()
+    return x
+
+# ---------------------------------------------------------------------------
+# Pattern redaction (PII-scrub shape): regex -> mask + hit count
+# ---------------------------------------------------------------------------
+
+# The corpus is synthetic word-salad (no emails/SSNs), so the "sensitive
+# entity" pattern is the two brand-like tokens that actually occur; a
+# production run passes its own PII alternation — the operator shape
+# (one RE2 replace + one RE2 count per batch) is unchanged.
+REDACT_PATTERN = r"\b(customer|spark)\b"
+REDACT_MASK = "[ENT]"
+
+
+def q_pattern_redaction(sf_dir: str) -> ray.data.Dataset:
+    """Redact a sensitive-entity regex from every document: emit the
+    cleaned text, the number of hits, and the cleaned length.
+
+    Both the replace and the count are single RE2 kernels over the whole
+    batch (`pc.replace_substring_regex` / `pc.count_substring_regex`) —
+    no python row loop, no driver materialization."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(t["text"], REDACT_PATTERN, REDACT_MASK)
+        hits = pc.cast(pc.count_substring_regex(t["text"], REDACT_PATTERN), pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "redacted": red,
+                "n_hits": hits,
+                "red_len": pc.cast(pc.utf8_length(red), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_REDACTION_SQL = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(customer|spark)\b', '[ENT]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '\b(customer|spark)\b')) AS BIGINT) AS n_hits,
+       CAST(length(regexp_replace(text, '\b(customer|spark)\b', '[ENT]', 'g')) AS BIGINT)
+         AS red_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stopword filtering
+# ---------------------------------------------------------------------------
+
+STOPWORD_PATTERN = r"\b(the|a)\b"
+
+
+def q_stopword_filter(sf_dir: str) -> ray.data.Dataset:
+    """Remove stopwords, renormalize whitespace, report tokens removed.
+
+    Three chained RE2 kernels per batch: drop the stopword tokens,
+    collapse the resulting runs of spaces, trim the ends; the removed
+    count is tokens-before minus tokens-after (cheaper than a second
+    regex count and bit-identical to it for word-bounded patterns)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        before = pc.cast(token_count(t["text"]), pa.int64())
+        stripped = pc.replace_substring_regex(t["text"], STOPWORD_PATTERN, "")
+        collapsed = pc.utf8_trim(
+            pc.replace_substring_regex(stripped, r"\s+", " "), " "
+        )
+        after = pc.cast(token_count(collapsed), pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": collapsed,
+                "n_tokens": after,
+                "n_removed": pc.subtract(before, after),
+            }
+        )
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_STOPWORD_SQL = r"""
+WITH cleaned AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(text, '\b(the|a)\b', '', 'g'),
+                             '\s+', ' ', 'g'), ' ') AS clean_text
+  FROM documents
+), counted AS (
+  SELECT doc_id, clean_text,
+         CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text, ' '), '\s+')) END AS n_before,
+         CASE WHEN length(clean_text) = 0 THEN 0
+              ELSE len(regexp_split_to_array(clean_text, '\s+')) END AS n_tokens
+  FROM cleaned
+)
+SELECT doc_id, clean_text,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_before - n_tokens AS BIGINT) AS n_removed
+FROM counted
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (corpus-probability perplexity proxy)
+# ---------------------------------------------------------------------------
+
+def q_unigram_lm_scores(sf_dir: str) -> ray.data.Dataset:
+    """Per-document average token log-probability under the corpus's own
+    unigram LM — the classic cheap perplexity proxy for quality filtering.
+
+    Two passes: (1) global token counts via per-batch Arrow group_by
+    partials + one vocabulary-sized ``groupby('token')`` shuffle; the
+    count table is broadcast once with ``ray.put`` (vocab is tiny here;
+    at web-vocab scale swap the broadcast for a token hash join); (2)
+    per batch, tokens are exploded and scored with an ``index_in``
+    lookup + ``np.add.reduceat`` segment sums — no python row loop, a
+    doc's tokens never leave its batch.  ``ln`` parity with DuckDB holds
+    (same libm, see the TF-IDF stage); the final ratio is floored to the
+    1e-6 grid.  Zero-token documents are excluded (the SQL side has no
+    token rows for them)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], " "), r"\s+")
+        flat = pa.table({"token": pc.list_flatten(toks)})
+        flat = flat.filter(pc.not_equal(flat["token"], ""))
+        g = flat.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "n"])
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    vocab = counts.to_arrow_refs()
+    tabs = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+            for b in ray.get(vocab)]
+    vt = pa.concat_tables([t for t in tabs if t.num_rows], promote_options="default")
+    tok_chunked = vt["token"].combine_chunks()
+    tokens = tok_chunked.chunk(0) if isinstance(tok_chunked, pa.ChunkedArray) else tok_chunked
+    cnt = vt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(cnt.sum())
+    logp = np.log(cnt.astype(np.float64) / float(total))
+    vocab_ref = ray.put((tokens, logp))
+
+    def score(t: pa.Table) -> pa.Table:
+        tok_arr, lp = ray.get(vocab_ref)
+        t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], " "), r"\s+")
+        # raw list lengths keep the segment offsets aligned with `flat`
+        # (an empty-trimmed text splits to [""], a 1-element list); such
+        # docs are dropped from the OUTPUT but their dummy segment stays
+        # in the offset arithmetic
+        n_raw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(
+            pc.utf8_length(pc.utf8_trim(t["text"], " ")), 0
+        ).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        # "" (the empty-doc dummy token) is not in the vocab -> null idx;
+        # fill with 0 — those positions sit in dropped segments
+        idx = pc.fill_null(
+            pc.index_in(flat, value_set=tok_arr), 0
+        ).to_numpy(zero_copy_only=False)
+        tok_lp = lp[idx.astype(np.int64)]
+        offsets = np.concatenate(([0], np.cumsum(n_raw)[:-1]))
+        keep = (~empty) & (n_raw > 0)
+        sums = np.zeros(len(n_raw), dtype=np.float64)
+        nonzero = n_raw > 0
+        if nonzero.any() and len(tok_lp):
+            sums[nonzero] = np.add.reduceat(tok_lp, offsets[nonzero])
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        n = n_raw
+        avg = sums[keep] / n[keep]
+        # floor on the 1e-6 grid; scores are negative, so floor toward
+        # -inf matches SQL FLOOR exactly (both IEEE floor)
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "n_tokens": n[keep],
+                "avg_logp": floor6(avg),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_UNIGRAM_LM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text, ' '), '\s+')) AS token
+  FROM documents WHERE length(trim(text, ' ')) > 0
+), cnt AS (
+  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       FLOOR(AVG(ln(CAST(c.c AS DOUBLE) / tot.total)) * 1000000) / 1000000
+         AS avg_logp
+FROM tok t JOIN cnt c USING (token) CROSS JOIN tot
+GROUP BY t.doc_id, tot.total
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-diversity scoring (exact rational arithmetic — no transcendentals)
+# ---------------------------------------------------------------------------
+
+def q_token_diversity(sf_dir: str) -> ray.data.Dataset:
+    """Per-document token-diversity signals: distinct-token count,
+    type-token ratio, and Gini impurity of the token distribution
+    (1 - sum((c_i/n)^2)) — repetitive low-quality documents score low.
+
+    Fully vectorized and *exact*: per-doc token counts come from one
+    ``np.unique`` over (row, token-id) composites, the Gini numerator is
+    integer arithmetic, and the only float ops are two divisions of
+    exactly-representable integers — bit-identical to the SQL."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def diversity(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], " "), r"\s+")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(pc.utf8_length(pc.utf8_trim(t["text"], " ")), 0)
+        n = np.where(empty.to_numpy(zero_copy_only=False), 0, n)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # token-id within the batch via dictionary encode
+        tok_id = _arr(pc.dictionary_encode(_arr(flat))).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nvocab = int(tok_id.max()) + 1 if len(tok_id) else 1
+        composite = parent.astype(np.int64) * nvocab + tok_id
+        uniq, counts = np.unique(composite, return_counts=True)
+        row_of = uniq // nvocab
+        nrows = t.num_rows
+        distinct = np.bincount(row_of, minlength=nrows).astype(np.int64)
+        sumsq = np.bincount(row_of, weights=(counts.astype(np.float64)) ** 2,
+                            minlength=nrows).astype(np.int64)
+        keep = n > 0
+        nk = n[keep].astype(np.float64)
+        gini = 1.0 - sumsq[keep].astype(np.float64) / (nk * nk)
+        ttr = distinct[keep].astype(np.float64) / nk
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                "n_tokens": n[keep],
+                "distinct_tokens": distinct[keep],
+                "gini": floor6(gini),
+                "type_token_ratio": floor6(ttr),
+            }
+        )
+
+    return ds.map_batches(diversity, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_TOKEN_DIVERSITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text, ' '), '\s+')) AS token
+  FROM documents WHERE length(trim(text, ' ')) > 0
+), per AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS distinct_tokens,
+       FLOOR((1.0 - CAST(SUM(c * c) AS DOUBLE)
+                    / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)))
+             * 1000000) / 1000000 AS gini,
+       FLOOR((CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE))
+             * 1000000) / 1000000 AS type_token_ratio
+FROM per GROUP BY doc_id
+"""

@@ -1,0 +1,87 @@
+"""Edge-semantics tests for the corpus-cleaning operators (the driver
+gate value-checks them against DuckDB at sf0.01/sf0.1; these pin the
+corner cases with hand-built fixtures): word-boundary redaction,
+all-stopword and empty documents, LM scoring excluding zero-token docs,
+and diversity math on planted repetition."""
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["src0"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_redaction_word_boundaries(tmp_path):
+    """'customers' must NOT be redacted (word boundary); counts and
+    lengths reflect only whole-word hits."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_pattern_redaction,
+    )
+
+    sf = _write_docs(tmp_path, ["customer customers spark sparkly", "no hits here", ""])
+    out = q_pattern_redaction(sf).to_pandas().sort_values("doc_id")
+    assert out["n_hits"].tolist() == [2, 0, 0]
+    assert out["redacted"].tolist() == [
+        "[ENT] customers [ENT] sparkly",
+        "no hits here",
+        "",
+    ]
+    assert out["red_len"].tolist() == [29, 12, 0]
+
+
+def test_stopword_filter_degenerate_docs(tmp_path):
+    """All-stopword doc collapses to empty (0 tokens, all removed);
+    empty doc stays empty with zero counts."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_stopword_filter,
+    )
+
+    sf = _write_docs(tmp_path, ["the a the", "the quick fox", "", "a"])
+    out = q_stopword_filter(sf).to_pandas().sort_values("doc_id")
+    assert out["clean_text"].tolist() == ["", "quick fox", "", ""]
+    assert out["n_tokens"].tolist() == [0, 2, 0, 0]
+    assert out["n_removed"].tolist() == [3, 1, 0, 1]
+
+
+def test_unigram_lm_scores_math(tmp_path):
+    """Corpus = 3x 'x', 1x 'y': p(x)=3/4, p(y)=1/4; zero-token docs are
+    excluded from the output like the SQL side."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_unigram_lm_scores,
+    )
+
+    sf = _write_docs(tmp_path, ["x x", "x y", ""])
+    out = q_unigram_lm_scores(sf).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_tokens"].tolist() == [2, 2]
+    exp0 = math.floor(math.log(0.75) * 1e6) / 1e6
+    exp1 = math.floor((math.log(0.75) + math.log(0.25)) / 2 * 1e6) / 1e6
+    assert out["avg_logp"].tolist() == [exp0, exp1]
+
+
+def test_token_diversity_planted_repetition(tmp_path):
+    """'x x x x' -> gini 0, ttr 0.25; four distinct tokens -> gini 0.75,
+    ttr 1.0."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_token_diversity,
+    )
+
+    sf = _write_docs(tmp_path, ["x x x x", "a b c d", ""])
+    out = q_token_diversity(sf).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["distinct_tokens"].tolist() == [1, 4]
+    assert out["gini"].tolist() == [0.0, 0.75]
+    assert out["type_token_ratio"].tolist() == [0.25, 1.0]
