@@ -500,9 +500,23 @@ def q_minhash_lsh_pairs(
     docs_b = ds.map_batches(
         lambda t: t.rename_columns(["doc_b", "text_b"]), batch_format="pyarrow"
     )
-    withtext = uniq.join(
+    # repartition + schema pin between the chained joins: join #1 can
+    # emit schema-less empty partition blocks that join #2's hash
+    # shuffle rejects (FieldRef doc_b) — same absorption recipe as the
+    # groupby->join seam
+    half = uniq.join(
         docs_a, join_type="inner", num_partitions=join_partitions, on=("doc_a",)
-    ).join(docs_b, join_type="inner", num_partitions=join_partitions, on=("doc_b",))
+    ).repartition(join_partitions).map_batches(
+        _with_schema(
+            pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    withtext = half.join(
+        docs_b, join_type="inner", num_partitions=join_partitions, on=("doc_b",)
+    )
 
     def verify(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -1605,3 +1619,235 @@ SELECT cl.doc_id, cl.cluster_rep, CAST(d.n_chars AS BIGINT) AS n_chars,
 FROM cl JOIN documents d ON d.doc_id = cl.doc_id
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity self-join (PPJoin family — exact, no LSH)
+# ---------------------------------------------------------------------------
+
+def q_setsim_prefix_join(
+    sf_dir: str,
+    threshold: float = 0.6,
+    join_partitions: int = 8,
+) -> ray.data.Dataset:
+    """ALL pairs with word-3-gram-shingle Jaccard >= ``threshold``, found
+    by prefix filtering (SSJoin/PPJoin family) — exact recall with no
+    probabilistic step, the deterministic alternative to MinHash.
+
+    Prefix lemma: under any fixed total order of shingles (here:
+    ascending Horner hash), two sets A, B with ``|A∩B| >= ceil(t·|A|)``
+    must share an element inside A's first ``|A| - ceil(t·|A|) + 1``
+    elements (pigeonhole) — so indexing ONLY each doc's prefix finds
+    every qualifying pair.
+
+    Scale shape: (1) one vectorized pass packs each doc's sorted-unique
+    shingle set as ``large_binary`` (list-typed non-key columns break
+    Acero joins) and is materialized ONCE to the object store (at
+    100 TB: a parquet spill reused by both consumers); (2) the inverted
+    index shuffles ``(prefix_gram, doc_id)`` rows only — with t=0.6
+    that is ~40 % of distinct shingles, no text; (3) candidate pairs
+    are globally deduped (groupby), re-joined to their packed sets with
+    two hash joins, and verified by ONE vectorized sort-merge
+    intersection over the whole batch (no per-pair python loop)."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    set_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("set_bytes", pa.large_binary()),
+            pa.field("set_size", pa.int64()),
+        ]
+    )
+
+    def add_sets(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        g, rows = _shingle_hashes(t["text"], k=3)
+        vals, offs = _sorted_unique_rowsets(g, rows, t.num_rows)
+        sizes = np.diff(offs)
+        keep = sizes > 0  # <3-token docs have no shingles (oracle: len(ws)>=3)
+        vals64 = vals.astype(np.int64)
+        packed = [
+            vals64[offs[i] : offs[i + 1]].tobytes()
+            for i in np.nonzero(keep)[0]
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "set_bytes": pa.array(packed, type=pa.large_binary()),
+                "set_size": pa.array(sizes[keep], type=pa.int64()),
+            },
+            schema=set_schema,
+        )
+
+    sets = ds.map_batches(
+        add_sets, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def emit_prefix(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        sizes = t["set_size"].to_numpy(zero_copy_only=False)
+        # p = s - ceil(t*s) + 1  (prefix under the ascending-hash order)
+        plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        buf = t["set_bytes"].combine_chunks()
+        raw = np.frombuffer(buf.buffers()[2], dtype=np.int64)
+        # slice the offsets buffer from buf.offset (sliced arrays keep a
+        # view offset); data positions are absolute, so raw[] is safe
+        boffs = np.frombuffer(buf.buffers()[1], dtype=np.int64)[
+            buf.offset : buf.offset + n + 1
+        ] // 8
+        flat_idx = _expand_ranges(boffs[:-1], plen)
+        grams = raw[flat_idx]
+        doc_rep = np.repeat(ids, plen)
+        return pa.table(
+            {
+                "gram": pa.array(grams),
+                "bucket": pa.array(
+                    (grams.view(np.uint64) % np.uint64(_COARSE_BUCKETS)).astype(
+                        np.int32
+                    )
+                ),
+                "doc_id": pa.array(doc_rep),
+            }
+        )
+
+    prefix_rows = sets.map_batches(
+        emit_prefix, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(max(2, _COARSE_BUCKETS // 8))
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        a, b = _run_pairs(
+            g["gram"].to_numpy(zero_copy_only=False),
+            g["doc_id"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
+
+    cand = (
+        prefix_rows.groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    if cand.count() == 0:
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+
+    # global pair dedup (a pair surfaces once per shared prefix gram)
+    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nc"))
+    uniq = uniq.repartition(join_partitions).map_batches(
+        _with_schema(pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])),
+        batch_format="pyarrow",
+    )
+
+    sets_a = sets.map_batches(
+        lambda t: t.rename_columns(["doc_a", "bytes_a", "size_a"]),
+        batch_format="pyarrow",
+    )
+    sets_b = sets.map_batches(
+        lambda t: t.rename_columns(["doc_b", "bytes_b", "size_b"]),
+        batch_format="pyarrow",
+    )
+    half = uniq.join(
+        sets_a, join_type="inner", num_partitions=join_partitions, on=("doc_a",)
+    ).repartition(join_partitions).map_batches(
+        # join #1 can emit zero-column blocks for empty partitions,
+        # which join #2 rejects (FieldRef doc_b) — pin the mid schema
+        _with_schema(
+            pa.schema(
+                [
+                    ("doc_a", pa.int64()),
+                    ("doc_b", pa.int64()),
+                    ("bytes_a", pa.large_binary()),
+                    ("size_a", pa.int64()),
+                ]
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    withsets = half.join(
+        sets_b, join_type="inner", num_partitions=join_partitions, on=("doc_b",)
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        t = t.combine_chunks()
+        n = t.num_rows
+        sa = t["size_a"].to_numpy(zero_copy_only=False)
+        sb = t["size_b"].to_numpy(zero_copy_only=False)
+
+        def unpack(col):
+            arr = t[col].combine_chunks()
+            raw = np.frombuffer(arr.buffers()[2], dtype=np.int64)
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                arr.offset : arr.offset + n + 1
+            ] // 8
+            return raw, offs
+
+        ra, oa = unpack("bytes_a")
+        rb, ob = unpack("bytes_b")
+        # one sort-merge intersection for the WHOLE batch: label every
+        # set element with its pair id, sort (pair, value), count
+        # adjacent duplicates — each side is unique within a pair, so a
+        # duplicate == one intersection element
+        pair_lab = np.concatenate(
+            [np.repeat(np.arange(n), sa), np.repeat(np.arange(n), sb)]
+        )
+        vals = np.concatenate(
+            [ra[_expand_ranges(oa[:-1], sa)], rb[_expand_ranges(ob[:-1], sb)]]
+        )
+        order = np.lexsort((vals, pair_lab))
+        pl, vl = pair_lab[order], vals[order]
+        dup = (pl[1:] == pl[:-1]) & (vl[1:] == vl[:-1])
+        inter = np.bincount(pl[1:][dup], minlength=n)
+        union = sa + sb - inter
+        jac = np.floor(np.where(union > 0, inter / union, 1.0) * 1e6) / 1e6
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].filter(pa.array(keep)),
+                "doc_b": t["doc_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep]),
+            },
+            schema=_PAIR_SCHEMA,
+        )
+
+    verified = withsets.map_batches(verify, batch_format="pyarrow").materialize()
+    if verified.count() == 0:
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+    return verified
+
+
+Q_SETSIM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                               '\s+') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws)-1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM toks WHERE len(ws) >= 3
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         FLOOR(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams)))
+               * 1000000) / 1000000 AS jaccard
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND len(a.grams) * 5 >= len(b.grams) * 3  -- jac>=0.6 => 5|A|>=3|B|
+   AND len(b.grams) * 5 >= len(a.grams) * 3
+)
+WHERE jaccard >= 0.6
+"""

@@ -16,7 +16,15 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count
 
-from ..functions.sketches import kmv_estimate, kmv_from_hashes, kmv_merge
+from ..functions.sketches import (
+    HLL_P,
+    hll_estimate,
+    hll_from_hashes,
+    hll_merge,
+    kmv_estimate,
+    kmv_from_hashes,
+    kmv_merge,
+)
 from ..sources.readers import read_table
 
 KMV_K = 256
@@ -362,4 +370,75 @@ WITH toks AS (
 SELECT token, CAST(n_exact AS BIGINT) AS n_exact, TRUE AS est_ok
 FROM c
 WHERE n_exact > (SELECT COUNT(*) FROM toks) / 29.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct count (fixed-size register sketch)
+# ---------------------------------------------------------------------------
+
+def q_hll_distinct_users(sf_dir: str, p: int = HLL_P) -> ray.data.Dataset:
+    """HyperLogLog approximate distinct users per event_type — the
+    constant-memory alternative to KMV: one 2^p-byte register array per
+    (type, batch), merged by elementwise max (order-independent, so the
+    estimate is deterministic for a given corpus regardless of batch
+    boundaries).  Rows-only oracle; the accuracy bound is gated by
+    ``q_hll_check`` and pytest."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        etypes, regs = [], []
+        for etype, grp in df.groupby("event_type", sort=True):
+            h = _hash_ids(grp["user_id"].to_numpy())
+            etypes.append(etype)
+            regs.append(hll_from_hashes(h, p).tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(etypes, type=pa.string()),
+                "registers": pa.array(regs, type=pa.large_binary()),
+            }
+        )
+
+    sketches = ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        etypes, ests = [], []
+        for etype, grp in g.groupby("event_type", sort=True):
+            merged = hll_merge(
+                [np.frombuffer(r, dtype=np.uint8) for r in grp["registers"]]
+            )
+            etypes.append(etype)
+            ests.append(round(hll_estimate(merged, p), 2))
+        return pa.table(
+            {
+                "event_type": pa.array(etypes, type=pa.string()),
+                "hll_users": pa.array(ests, type=pa.float64()),
+            }
+        )
+
+    return sketches.groupby("event_type").map_groups(merge, batch_format="pandas")
+
+
+def q_hll_check(sf_dir: str, p: int = HLL_P, tolerance: float = 0.1) -> pa.Table:
+    """Value-oracled accuracy gate for the HLL sketch (same contract as
+    ``q_approx_distinct_check``): exact count + ``est_ok`` asserting the
+    estimate sits within ``tolerance`` (2048 registers -> sigma ~2.3 %,
+    so 10 % is a 4-sigma bound)."""
+    exact = q_distinct_users_exact(sf_dir).to_pandas()
+    approx = q_hll_distinct_users(sf_dir, p=p).to_pandas()
+    m = exact.merge(approx, on="event_type", how="outer")
+    est_ok = ((m["hll_users"] / m["n_users"] - 1.0).abs() <= tolerance).fillna(False)
+    return pa.table(
+        {
+            "event_type": pa.array(m["event_type"], type=pa.string()),
+            "n_users": pa.array(m["n_users"].astype("int64")),
+            "est_ok": pa.array(est_ok.astype(bool)),
+        }
+    )
+
+
+Q_HLL_CHECK_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, TRUE AS est_ok
+FROM events GROUP BY event_type
 """

@@ -1,0 +1,107 @@
+"""Planted-fixture tests for the prefix-filtered set-similarity join:
+exact recall on a near-dup pair (no LSH randomness to tune), correct
+exclusion below threshold, shingle-less short docs, and empty-result
+schema pinning."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["src0"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_setsim_planted_pair_and_exclusion(tmp_path):
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_setsim_prefix_join,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(38)) + " zzz yyy"  # high overlap
+    far = " ".join(f"other{i}" for i in range(40))  # zero shared shingles
+    short = "one two"  # <3 tokens: no shingles, excluded entirely
+    sf = _write_docs(tmp_path, [base, near, far, short])
+    out = q_setsim_prefix_join(sf, threshold=0.6).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(0, 1)}
+    # jaccard: base has 38 shingles, near has 38 (36 shared + 2 new)
+    assert abs(out["jaccard"].iloc[0] - 36 / 40) < 1e-6
+
+
+def test_setsim_empty_result_schema(tmp_path):
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_setsim_prefix_join,
+    )
+
+    texts = [" ".join(f"w{i}_{d}" for i in range(10)) for d in range(5)]
+    sf = _write_docs(tmp_path, texts)
+    res = q_setsim_prefix_join(sf, threshold=0.6)
+    df = res.to_pandas()
+    assert len(df) == 0
+    assert list(res.schema().names) == ["doc_a", "doc_b", "jaccard"]
+
+
+def test_hll_accuracy_and_merge_determinism():
+    """Pure-sketch math: estimate within 3 sigma across magnitudes, and
+    merging arbitrary partitions of the stream equals the one-shot
+    sketch exactly (registers are max-mergeable)."""
+    import numpy as np
+    from medical_and_charity_document_extraction_system_ray.functions.sketches import (
+        HLL_P,
+        hll_estimate,
+        hll_from_hashes,
+        hll_merge,
+    )
+    from medical_and_charity_document_extraction_system_ray.pipelines.sketches import (
+        _hash_ids,
+    )
+
+    sigma = 1.04 / np.sqrt(1 << HLL_P)
+    for n in (50, 1_000, 50_000):
+        h = _hash_ids(np.arange(n, dtype=np.int64))
+        est = hll_estimate(hll_from_hashes(h))
+        assert abs(est / n - 1.0) <= 3 * sigma + 0.01, (n, est)
+        # split into 7 uneven parts, merge — must be bit-identical
+        parts = np.array_split(h, 7)
+        merged = hll_merge([hll_from_hashes(p) for p in parts])
+        assert np.array_equal(merged, hll_from_hashes(h))
+
+
+def test_hll_query_bound(tmp_path):
+    """End-to-end over a small synthetic events table: gate query says
+    est_ok for every type."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.sketches import (
+        q_hll_check,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                np.arange(n, dtype=np.int64) * 1_000_000 + 1_700_000_000_000_000
+            ).view(pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 900, n), pa.int64()),
+            "event_type": pa.array(
+                [["click", "view", "buy"][i % 3] for i in range(n)]
+            ),
+            "value": pa.array(rng.random(n), pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = q_hll_check(str(tmp_path)).to_pandas()
+    assert len(out) == 3 and out["est_ok"].all()
