@@ -305,3 +305,92 @@ SELECT doc_id,
              * 1000000) / 1000000 AS type_token_ratio
 FROM per GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Source-drift scoring: Jensen-Shannon divergence per source vs corpus
+# ---------------------------------------------------------------------------
+
+def q_source_jsd(sf_dir: str) -> pa.Table:
+    """Jensen-Shannon divergence of every source's token distribution
+    from the whole-corpus distribution — the drift/outlier signal used
+    to spot a crawl shard gone bad before it trains.
+
+    Distributed part: per-batch (source, token) count partials + one
+    vocabulary-x-sources groupby (the only shuffle; rows = distincts,
+    never occurrences).  The |sources| x |vocab| count grid is tiny and
+    is finished on the driver in numpy (same shape as
+    ``q_source_mixing_weights``).  ``ln`` parity per the TF-IDF
+    precedent; result floored to the 1e-6 grid."""
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], " "), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        src = _arr(t["source"]).take(parent)
+        tmp = pa.table({"source": src, "token": flat})
+        tmp = tmp.filter(pc.not_equal(tmp["token"], ""))
+        g = tmp.group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "n"])
+
+    grid = (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    # pivot to sources x vocab counts (tiny: distinct sources x vocab)
+    pv = grid.pivot_table(index="source", columns="token", values="n",
+                          aggfunc="sum", fill_value=0).sort_index(axis=0).sort_index(axis=1)
+    c = pv.to_numpy(dtype=np.float64)          # [n_sources, vocab]
+    gc = c.sum(axis=0)                         # corpus counts per token
+    p = c / c.sum(axis=1, keepdims=True)       # per-source distribution
+    q = gc / gc.sum()                          # corpus distribution
+    m = (p + q[None, :]) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p_term = np.where(p > 0, 0.5 * p * np.log(p / m), 0.0)
+        q_term = 0.5 * q[None, :] * np.log(q[None, :] / m)
+    jsd = floor6((p_term + q_term).sum(axis=1))
+    return pa.table(
+        {
+            "source": pa.array(pv.index.to_list(), type=pa.string()),
+            "jsd": pa.array(jsd, type=pa.float64()),
+        }
+    )
+
+
+Q_SOURCE_JSD_SQL = r"""
+WITH tok AS (
+  SELECT source, UNNEST(regexp_split_to_array(trim(text, ' '), '\s+')) AS token
+  FROM documents WHERE length(trim(text, ' ')) > 0
+), sc AS (
+  SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token
+), vocab AS (
+  SELECT token, CAST(SUM(c) AS BIGINT) AS gc FROM sc GROUP BY token
+), stot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM sc GROUP BY source
+), gtot AS (
+  SELECT CAST(SUM(gc) AS BIGINT) AS total FROM vocab
+), grid AS (
+  SELECT s.source, v.token, COALESCE(sc.c, 0) AS c, v.gc, s.tot, g.total
+  FROM stot s CROSS JOIN vocab v
+  LEFT JOIN sc ON sc.source = s.source AND sc.token = v.token
+  CROSS JOIN gtot g
+), terms AS (
+  SELECT source,
+         (CASE WHEN c > 0 THEN 0.5 * (CAST(c AS DOUBLE)/tot)
+               * ln((CAST(c AS DOUBLE)/tot)
+                    / ((CAST(c AS DOUBLE)/tot + CAST(gc AS DOUBLE)/total)/2))
+               ELSE 0 END)
+         + 0.5 * (CAST(gc AS DOUBLE)/total)
+           * ln((CAST(gc AS DOUBLE)/total)
+                / ((CAST(c AS DOUBLE)/tot + CAST(gc AS DOUBLE)/total)/2))
+           AS term
+  FROM grid
+)
+SELECT source, FLOOR(SUM(term) * 1000000) / 1000000 AS jsd
+FROM terms GROUP BY source
+"""

@@ -268,3 +268,53 @@ WITH keyed AS (
 SELECT lang, doc_id, n_chars FROM keyed
 QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) <= 5
 """
+
+
+SPLIT_BUCKETS = (80, 90)  # train < 80 <= val < 90 <= test (of 100)
+
+
+def q_train_val_test_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment (80/10/10) by Horner-hash
+    bucket of the doc id — the dataset-split primitive for training-data
+    curation.  Shard-local, zero-coordination, reproducible across
+    engines and runs (re-running over a grown corpus never reassigns an
+    existing doc), and stratification composes by hashing (key, salt).
+    """
+    import numpy as np
+
+    from ..functions.text import fingerprint64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    lo, hi = SPLIT_BUCKETS
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = fingerprint64(pc.cast(t["doc_id"], pa.string())) % np.uint64(100)
+        split = np.where(h < lo, "train", np.where(h < hi, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "source": t["source"],
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_SPLIT_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+                            i -> unicode((CAST(doc_id AS VARCHAR))[i]))),
+             (a, x) -> (a * 1099511628211 + x) % 18446744073709551616) % 100
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""

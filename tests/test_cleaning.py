@@ -85,3 +85,49 @@ def test_token_diversity_planted_repetition(tmp_path):
     assert out["distinct_tokens"].tolist() == [1, 4]
     assert out["gini"].tolist() == [0.0, 0.75]
     assert out["type_token_ratio"].tolist() == [0.25, 1.0]
+
+
+def test_source_jsd_bounds(tmp_path):
+    """A source identical to the corpus mix scores ~0; a fully disjoint
+    vocabulary source scores near the ln(2) JSD maximum."""
+    import math
+
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_source_jsd,
+    )
+
+    texts = ["alpha beta gamma"] * 6 + ["zzz qqq www"] * 2
+    tbl_sources = ["same"] * 6 + ["weird"] * 2
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 8),
+            "source": pa.array(tbl_sources),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = q_source_jsd(str(tmp_path)).to_pandas().set_index("source")["jsd"]
+    assert out["same"] < out["weird"]
+    assert out["weird"] <= math.log(2) + 1e-9
+    assert out["same"] >= 0.0
+
+
+def test_split_deterministic_and_total(tmp_path):
+    """Every doc gets exactly one split; assignment is stable across
+    runs and insensitive to corpus growth (hash of the id only)."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.scalar_suite import (
+        q_train_val_test_split,
+    )
+
+    texts = [f"doc body {i}" for i in range(60)]
+    sf = _write_docs(tmp_path, texts)
+    a = q_train_val_test_split(sf).to_pandas().sort_values("doc_id")
+    b = q_train_val_test_split(sf).to_pandas().sort_values("doc_id")
+    assert a["split"].tolist() == b["split"].tolist()
+    assert set(a["split"]) <= {"train", "val", "test"}
+    assert a["split"].value_counts()["train"] > 30  # ~80 % of 60
