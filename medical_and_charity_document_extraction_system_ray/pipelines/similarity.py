@@ -636,3 +636,175 @@ def q_knn_pq_recall(
 Q_KNN_PQ_RECALL_SQL = """
 SELECT 10 AS k, TRUE AS recall_ok
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's EM over the FULL dataset, mergeable partials)
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(
+    sf_dir: str, k: int = 8, iters: int = 5, sample_size: int = 512
+) -> tuple[np.ndarray, list[float]]:
+    """Distributed Lloyd's: deterministic strided-sample init, then
+    ``iters`` full EM passes where each batch emits only (k x dim sums,
+    k counts, sse) — O(k·dim) per block moves to the driver per
+    iteration, never a vector.  Returns (centroids, per-iter inertia).
+
+    This is the true large-scale shape (vs the IVF build, which trains
+    on a sample): every iteration re-reads the dataset as a stream, so
+    100 TB of embeddings never materialize anywhere."""
+    import ray
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    n = ds.count()
+    stride = max(1, n // sample_size)
+
+    def strided(t: pa.Table) -> pa.Table:
+        return t.take(np.arange(0, len(t), stride))
+
+    sample_blocks = ray.get(
+        [
+            ref
+            for bundle in ds.map_batches(
+                strided, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .materialize()
+            .iter_internal_ref_bundles()
+            for ref in bundle.block_refs
+        ]
+    )
+    sample_tbl = pa.concat_tables(
+        [b for b in sample_blocks if b.num_rows and "vec_id" in b.column_names]
+    )
+    sids, smat = _matrix(sample_tbl)
+    # deterministic init: the k sample vectors with the smallest vec_ids
+    order = np.argsort(sids)[:k]
+    centroids = smat[order].astype(np.float64)
+    inertia: list[float] = []
+
+    for _ in range(iters):
+        cent_ref = ray.put(centroids)
+
+        def partial(t: pa.Table) -> pa.Table:
+            cents = ray.get(cent_ref)
+            _, mat = _matrix(t)
+            mat = mat.astype(np.float64)
+            d = (cents**2).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
+            assign = d.argmin(axis=1)
+            kk, dim = cents.shape
+            sums = np.zeros((kk, dim), dtype=np.float64)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            sse = float(
+                ((mat**2).sum(axis=1) + d[np.arange(len(mat)), assign]).sum()
+            )
+            return pa.table(
+                {
+                    "cluster_id": pa.array(np.arange(kk, dtype=np.int64)),
+                    "n": pa.array(counts),
+                    "sums": pa.array([row.tobytes() for row in sums],
+                                     type=pa.large_binary()),
+                    "sse": pa.array(
+                        np.concatenate([[sse], np.zeros(kk - 1)]), type=pa.float64()
+                    ),
+                }
+            )
+
+        part_blocks = ray.get(
+            [
+                ref
+                for bundle in ds.map_batches(
+                    partial, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .materialize()
+                .iter_internal_ref_bundles()
+                for ref in bundle.block_refs
+            ]
+        )
+        pt = pa.concat_tables(
+            [b for b in part_blocks if b.num_rows and "cluster_id" in b.column_names]
+        )
+        cids = pt["cluster_id"].to_numpy(zero_copy_only=False)
+        counts = np.bincount(cids, weights=pt["n"].to_numpy(zero_copy_only=False),
+                             minlength=k).astype(np.int64)
+        dim = centroids.shape[1]
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for cid, b in zip(cids, pt["sums"].to_pylist()):
+            sums[cid] += np.frombuffer(b, dtype=np.float64)
+        inertia.append(float(pt["sse"].to_numpy(zero_copy_only=False).sum()))
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    return centroids, inertia
+
+
+def _cluster_sizes(sf_dir: str, centroids: np.ndarray, k: int) -> pa.Table:
+    """One assignment pass -> per-cluster counts (partial bincount per
+    batch, k-row groupby)."""
+    import ray
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent_ref = ray.put(centroids)
+
+    def assign_counts(t: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        _, mat = _matrix(t)
+        d = (cents**2).sum(axis=1)[None, :] - 2.0 * (mat.astype(np.float64) @ cents.T)
+        counts = np.bincount(d.argmin(axis=1), minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "cluster_id": pa.array(np.arange(k, dtype=np.int64)),
+                "n_points": pa.array(counts),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(assign_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster_id")
+        .aggregate(Sum("n_points", alias_name="n_points"))
+        .to_pandas()
+        .sort_values("cluster_id")
+    )
+    return pa.table(
+        {
+            "cluster_id": pa.array(out["cluster_id"].to_numpy(), type=pa.int64()),
+            "n_points": pa.array(out["n_points"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+def q_kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
+    """Final cluster sizes after distributed Lloyd's (rows-only: the
+    float iteration is not SQL-expressible; ``kmeans_check`` gates it)."""
+    centroids, _ = kmeans_fit(sf_dir, k=k, iters=iters)
+    return _cluster_sizes(sf_dir, centroids, k)
+
+
+def q_kmeans_check(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
+    """Value-oracled gate for the k-means operator: total points
+    conserved (vs SQL COUNT(*)), inertia non-increasing across EM
+    iterations (Lloyd's invariant), and every cluster non-empty on this
+    corpus."""
+    centroids, inertia = kmeans_fit(sf_dir, k=k, iters=iters)
+    sizes = _cluster_sizes(sf_dir, centroids, k).to_pandas()
+    monotone = all(b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:]))
+    return pa.table(
+        {
+            "n_points": pa.array([int(sizes["n_points"].sum())], type=pa.int64()),
+            "k_nonempty": pa.array(
+                [int((sizes["n_points"] > 0).sum())], type=pa.int64()
+            ),
+            "inertia_monotone": pa.array([bool(monotone)], type=pa.bool_()),
+        }
+    )
+
+
+Q_KMEANS_CHECK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points, 8 AS k_nonempty,
+       TRUE AS inertia_monotone
+FROM embeddings
+"""

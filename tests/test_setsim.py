@@ -105,3 +105,35 @@ def test_hll_query_bound(tmp_path):
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
     out = q_hll_check(str(tmp_path)).to_pandas()
     assert len(out) == 3 and out["est_ok"].all()
+
+
+def test_kmeans_planted_blobs(tmp_path):
+    """Three well-separated blobs: distributed Lloyd's recovers the
+    partition sizes exactly and inertia is non-increasing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.similarity import (
+        kmeans_fit,
+        q_kmeans_clusters,
+    )
+
+    rng = np.random.default_rng(3)
+    blobs = [
+        rng.normal(loc, 0.05, size=(n, 8))
+        for loc, n in ((0.0, 40), (5.0, 25), (-5.0, 35))
+    ]
+    mat = np.concatenate(blobs).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in mat],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * 40 + [1] * 25 + [2] * 35, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    _, inertia = kmeans_fit(str(tmp_path), k=3, iters=4)
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:]))
+    sizes = q_kmeans_clusters(str(tmp_path), k=3, iters=4).to_pandas()
+    assert sorted(sizes["n_points"]) == [25, 35, 40]
