@@ -13,6 +13,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count
 
@@ -441,4 +442,150 @@ def q_hll_check(sf_dir: str, p: int = HLL_P, tolerance: float = 0.1) -> pa.Table
 Q_HLL_CHECK_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users, TRUE AS est_ok
 FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: point-frequency estimation with one-sided error
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH = 2048
+CMS_DEPTH = 4
+_CMS_SALTS = (0x9E37, 0xC2B2, 0x1657, 0x27D4)  # one odd-ish salt per row
+
+
+def _cms_hash(tokens_h: np.ndarray, row: int, width: int) -> np.ndarray:
+    """Row-salted splitmix-style rehash of pre-hashed token ids."""
+    with np.errstate(over="ignore"):
+        x = tokens_h * np.uint64(2 * _CMS_SALTS[row] + 1)
+        x ^= x >> np.uint64(29)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(32)
+    return (x % np.uint64(width)).astype(np.int64)
+
+
+def q_cms_token_counts(
+    sf_dir: str, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> pa.Table:
+    """Count-Min point estimates for every distinct document token: a
+    depth x width counter matrix per batch, merged by elementwise SUM
+    (linear sketch — merge order can never change the result), queried
+    with min-over-rows.
+
+    Scale shape: each batch ships one fixed-size (depth·width int64)
+    matrix regardless of row count; the vocabulary query at the end
+    reads the merged matrix once.  Estimates are one-sided
+    (est >= true always); the bound is value-gated by ``q_cms_check``.
+    Rows-only: counter values depend on nothing but the corpus (linear
+    sketch), but the ESTIMATES are not SQL-expressible."""
+    import ray
+
+    from ..functions.text import stable_hash64
+    from .training_prep import _tokens_flat
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        flat, _, _ = _tokens_flat(t["text"])
+        h = stable_hash64(flat)
+        mat = np.zeros((depth, width), dtype=np.int64)
+        for r in range(depth):
+            np.add.at(mat[r], _cms_hash(h, r, width), 1)
+        return pa.table({"cms": pa.array([mat.tobytes()], type=pa.large_binary())})
+
+    blocks = ray.get(
+        [
+            ref
+            for bundle in ds.map_batches(
+                sketch, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .materialize()
+            .iter_internal_ref_bundles()
+            for ref in bundle.block_refs
+        ]
+    )
+    mat = np.zeros((depth, width), dtype=np.int64)
+    for b in blocks:
+        if b.num_rows and "cms" in b.column_names:
+            for raw in b["cms"].to_pylist():
+                mat += np.frombuffer(raw, dtype=np.int64).reshape(depth, width)
+
+    # vocabulary to query: exact distinct tokens (tiny here; at web
+    # scale the CMS answers point queries without any vocabulary scan)
+    def distinct_tokens(t: pa.Table) -> pa.Table:
+        flat, _, _ = _tokens_flat(t["text"])
+        return pa.table({"token": pc.unique(flat)})
+
+    vocab = (
+        ds.map_batches(distinct_tokens, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()["token"]
+        .sort_values()
+        .to_numpy()
+    )
+    th = stable_hash64(pa.array(vocab.tolist(), type=pa.string()))
+    ests = np.min(
+        np.stack([mat[r][_cms_hash(th, r, width)] for r in range(depth)]), axis=0
+    )
+    return pa.table(
+        {
+            "token": pa.array(vocab, type=pa.string()),
+            "cms_count": pa.array(ests.astype(np.int64)),
+        }
+    )
+
+
+def q_cms_check(
+    sf_dir: str, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> pa.Table:
+    """Value-oracled gate for the CMS: per token, the exact count (SQL
+    recomputes it) plus ``one_sided`` (est >= exact, a DETERMINISTIC CMS
+    property) and ``bounded`` (est <= exact + 2·N/width in every row —
+    Markov gives P(excess > 2N/width) <= 1/2 per row, so the min over
+    ``depth`` independent rows exceeds it with p <= 2^-depth per
+    token)."""
+    est = q_cms_token_counts(sf_dir, width=width, depth=depth).to_pandas()
+    from .training_prep import _tokens_flat
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks, _, _ = _tokens_flat(t["text"])
+        flat = pa.table({"token": toks})
+        g = flat.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "n"])
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    m = exact.merge(est, on="token", how="outer").fillna(0)
+    total = int(m["n"].sum())
+    slack = 2.0 * total / width
+    one_sided = (m["cms_count"] >= m["n"]).all()
+    bounded = (m["cms_count"] <= m["n"] + slack).all()
+    return pa.table(
+        {
+            "token": pa.array(m["token"].sort_values(), type=pa.string()),
+            "n": pa.array(
+                m.sort_values("token")["n"].astype("int64").to_numpy()
+            ),
+            "one_sided": pa.array([bool(one_sided)] * len(m), type=pa.bool_()),
+            "bounded": pa.array([bool(bounded)] * len(m), type=pa.bool_()),
+        }
+    )
+
+
+Q_CMS_CHECK_SQL = r"""
+WITH tok AS (
+  SELECT UNNEST(regexp_split_to_array(trim(text, ' '), '\s+')) AS token
+  FROM documents WHERE length(trim(text, ' ')) > 0
+)
+SELECT token, COUNT(*) AS n, TRUE AS one_sided, TRUE AS bounded
+FROM tok WHERE token <> '' GROUP BY token
 """

@@ -17,6 +17,7 @@ ROWS_ONLY = {
     "approx_distinct_users",
     "hll_distinct_users",
     "kmeans_clusters",
+    "cms_token_counts",
     "heavy_hitters",
     "knn_ivf",
     "knn_pq",
@@ -35,7 +36,7 @@ def test_oracle_keys_cover_queries():
     # each rows-only op keeps a value-oracled companion gate
     for gate in ("approx_distinct_check", "knn_ivf_recall", "knn_pq_recall",
                  "media_features_geometry", "page_regions_check",
-                 "heavy_hitters_check", "hll_check", "kmeans_check"):
+                 "heavy_hitters_check", "hll_check", "kmeans_check", "cms_check"):
         assert gate in o, f"missing companion gate {gate}"
 
 

@@ -137,3 +137,33 @@ def test_kmeans_planted_blobs(tmp_path):
     assert all(b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:]))
     sizes = q_kmeans_clusters(str(tmp_path), k=3, iters=4).to_pandas()
     assert sorted(sizes["n_points"]) == [25, 35, 40]
+
+
+def test_cms_one_sided_and_linear(tmp_path):
+    """CMS estimates are >= exact for every token, and the sketch is
+    linear: any batch split merges to identical counters (exercised by
+    the pipeline over multiple blocks)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.sketches import (
+        q_cms_check,
+        q_cms_token_counts,
+    )
+
+    texts = (["alpha beta"] * 30) + (["gamma delta alpha"] * 10) + [""]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    est = q_cms_token_counts(str(tmp_path)).to_pandas().set_index("token")["cms_count"]
+    # 4 tokens in a 2048-wide sketch: collisions impossible -> exact
+    assert est["alpha"] == 40 and est["beta"] == 30
+    assert est["gamma"] == 10 and est["delta"] == 10
+    chk = q_cms_check(str(tmp_path)).to_pandas()
+    assert chk["one_sided"].all() and chk["bounded"].all()
