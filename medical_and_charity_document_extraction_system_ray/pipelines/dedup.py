@@ -1175,8 +1175,8 @@ def q_dup_clusters(sf_dir: str, max_iters: int = 25) -> ray.data.Dataset:
 
 
 Q_DUP_CLUSTERS_SQL = (
-    "WITH RECURSIVE base AS (" + Q_MINHASH_SQL + """),
-e AS (
+    "WITH RECURSIVE base AS MATERIALIZED (" + Q_MINHASH_SQL + """),
+e AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM base
   UNION
   SELECT doc_b, doc_a FROM base
@@ -1599,8 +1599,8 @@ def q_dup_canonical(sf_dir: str) -> ray.data.Dataset:
 
 
 Q_DUP_CANONICAL_SQL = (
-    "WITH RECURSIVE base AS (" + Q_MINHASH_SQL + """),
-e AS (
+    "WITH RECURSIVE base AS MATERIALIZED (" + Q_MINHASH_SQL + """),
+e AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM base
   UNION
   SELECT doc_b, doc_a FROM base
