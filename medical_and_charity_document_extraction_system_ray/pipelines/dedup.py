@@ -1629,6 +1629,7 @@ def q_setsim_prefix_join(
     sf_dir: str,
     threshold: float = 0.6,
     join_partitions: int = 8,
+    broadcast_pairs_threshold: int = 200_000,
 ) -> ray.data.Dataset:
     """ALL pairs with word-3-gram-shingle Jaccard >= ``threshold``, found
     by prefix filtering (SSJoin/PPJoin family) — exact recall with no
@@ -1738,9 +1739,99 @@ def q_setsim_prefix_join(
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .materialize()
     )
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
 
+    if n_cand <= broadcast_pairs_threshold:
+        # -- broadcast path (the common regime): the pair list is the
+        # SMALL side — dedup it on the driver and verify against set
+        # blocks fetched straight from the already-materialized `sets`
+        # (zero further dataset executions, no hash joins)
+        cand_blocks = [
+            ray.get(r)
+            for bundle in cand.iter_internal_ref_bundles()
+            for r in bundle.block_refs
+        ]
+        cand_blocks = [
+            b for b in cand_blocks if b.num_rows and "doc_a" in b.column_names
+        ]
+        ab = np.stack(
+            [
+                np.concatenate(
+                    [b["doc_a"].to_numpy(zero_copy_only=False) for b in cand_blocks]
+                ),
+                np.concatenate(
+                    [b["doc_b"].to_numpy(zero_copy_only=False) for b in cand_blocks]
+                ),
+            ],
+            axis=1,
+        )
+        pairs = np.unique(ab, axis=0)
+        need = np.unique(pairs)
+        vals_parts: list[np.ndarray] = []
+        ids_parts: list[np.ndarray] = []
+        sizes_parts: list[np.ndarray] = []
+        for bundle in sets.iter_internal_ref_bundles():
+            for r in bundle.block_refs:
+                b = ray.get(r)
+                if not b.num_rows or "doc_id" not in b.column_names:
+                    continue
+                bids = b["doc_id"].to_numpy(zero_copy_only=False)
+                mask = np.isin(bids, need)
+                if not mask.any():
+                    continue
+                sub = b.filter(pa.array(mask)).combine_chunks()
+                arr = sub["set_bytes"].combine_chunks()
+                raw = np.frombuffer(arr.buffers()[2], dtype=np.int64)
+                offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                    arr.offset : arr.offset + sub.num_rows + 1
+                ] // 8
+                szs = sub["set_size"].to_numpy(zero_copy_only=False)
+                vals_parts.append(raw[_expand_ranges(offs[:-1], szs)])
+                ids_parts.append(sub["doc_id"].to_numpy(zero_copy_only=False))
+                sizes_parts.append(szs)
+        lids = np.concatenate(ids_parts)
+        lsizes = np.concatenate(sizes_parts).astype(np.int64)
+        lvals = np.concatenate(vals_parts)
+        order = np.argsort(lids)
+        # reorder flat values to sorted-id layout
+        loffs_un = np.concatenate([[0], np.cumsum(lsizes)]).astype(np.int64)
+        lvals = lvals[_expand_ranges(loffs_un[order], lsizes[order])]
+        lids, lsizes = lids[order], lsizes[order]
+        loffs = np.concatenate([[0], np.cumsum(lsizes)]).astype(np.int64)
+        ia = np.searchsorted(lids, pairs[:, 0])
+        ib = np.searchsorted(lids, pairs[:, 1])
+        npairs = len(pairs)
+        sa, sb = lsizes[ia], lsizes[ib]
+        pair_lab = np.concatenate(
+            [np.repeat(np.arange(npairs), sa), np.repeat(np.arange(npairs), sb)]
+        )
+        vals = np.concatenate(
+            [
+                lvals[_expand_ranges(loffs[ia], sa)],
+                lvals[_expand_ranges(loffs[ib], sb)],
+            ]
+        )
+        so = np.lexsort((vals, pair_lab))
+        pl, vl = pair_lab[so], vals[so]
+        dup = (pl[1:] == pl[:-1]) & (vl[1:] == vl[:-1])
+        inter = np.bincount(pl[1:][dup], minlength=npairs)
+        union = sa + sb - inter
+        jac = np.floor(np.where(union > 0, inter / union, 1.0) * 1e6) / 1e6
+        keep = jac >= threshold
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array(pairs[:, 0][keep], type=pa.int64()),
+                    "doc_b": pa.array(pairs[:, 1][keep], type=pa.int64()),
+                    "jaccard": pa.array(jac[keep]),
+                },
+                schema=_PAIR_SCHEMA,
+            )
+        )
+
+    # -- join path (dup-heavy corpora at scale) ---------------------------
     # global pair dedup (a pair surfaces once per shared prefix gram)
     uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nc"))
     uniq = uniq.repartition(join_partitions).map_batches(

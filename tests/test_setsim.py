@@ -167,3 +167,20 @@ def test_cms_one_sided_and_linear(tmp_path):
     assert est["gamma"] == 10 and est["delta"] == 10
     chk = q_cms_check(str(tmp_path)).to_pandas()
     assert chk["one_sided"].all() and chk["bounded"].all()
+
+
+def test_setsim_join_path_matches_broadcast(tmp_path):
+    """Forcing the hash-join fallback (broadcast threshold 0) yields the
+    same verified pairs as the broadcast path."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_setsim_prefix_join,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(38)) + " zzz yyy"
+    far = " ".join(f"other{i}" for i in range(40))
+    sf = _write_docs(tmp_path, [base, near, far])
+    fast = q_setsim_prefix_join(sf).to_pandas()
+    slow = q_setsim_prefix_join(sf, broadcast_pairs_threshold=0).to_pandas()
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["jaccard"]))
+    assert key(fast) == key(slow) == [(0, 1, 0.9)]
