@@ -67,6 +67,7 @@ def run_bench() -> dict:
         extract_documents,
     )
     from medical_and_charity_document_extraction_system_ray.pipelines import (
+        cleaning,
         dedup,
         events,
         extraction_query,
@@ -145,6 +146,9 @@ def run_bench() -> dict:
         "knn_pq": similarity.q_knn_pq,
         "chunk_plan": training_prep.q_chunk_plan,
         "decontaminate": training_prep.q_decontaminate,
+        "setsim_prefix_join": dedup.q_setsim_prefix_join,
+        "unigram_lm_scores": cleaning.q_unigram_lm_scores,
+        "kmeans_clusters": similarity.q_kmeans_clusters,
     }
     # paired A/B: two interleaved passes over the whole subset in the
     # same session.  The shared host drifts ±25-50% within minutes, so a
