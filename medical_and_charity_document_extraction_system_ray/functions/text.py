@@ -185,13 +185,17 @@ def stable_hash64(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     null_mask = np.asarray(arr.is_null())
     bufs = arr.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int64)[: n + 1]
+    # slice the offsets buffer from arr.offset (a sliced/zero-copy-cast
+    # array keeps a view offset — same hazard utf8_codepoints fixes),
+    # then rebase data positions to 0
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
     data = (
         np.frombuffer(bufs[2], dtype=np.uint8)
         if bufs[2] is not None
         else np.empty(0, np.uint8)
     )
-    data = data[: offs[-1]]
+    data = data[offs[0] : offs[-1]]
+    offs = offs - offs[0]
     lengths = np.diff(offs)
 
     P = np.uint64(1099511628211)

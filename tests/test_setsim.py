@@ -184,3 +184,18 @@ def test_setsim_join_path_matches_broadcast(tmp_path):
     slow = q_setsim_prefix_join(sf, broadcast_pairs_threshold=0).to_pandas()
     key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["jaccard"]))
     assert key(fast) == key(slow) == [(0, 1, 0.9)]
+
+
+def test_stable_hash64_sliced_input():
+    """A zero-copy slice (non-zero Arrow view offset) must hash the same
+    as a compacted copy — the offsets-buffer hazard from ADVICE."""
+    import numpy as np
+    import pyarrow as pa
+    from medical_and_charity_document_extraction_system_ray.functions.text import (
+        stable_hash64,
+    )
+
+    full = pa.array(["aaa", "bb", "cccc", "d", "ee"])
+    sl = full.slice(1, 3)
+    compact = pa.array(sl.to_pylist())
+    assert np.array_equal(stable_hash64(sl), stable_hash64(compact))
