@@ -1784,3 +1784,108 @@ SELECT o_orderstatus, AVG(cents) / 100.0 AS median_price,
 FROM r WHERE rn IN ((n + 1) // 2, n // 2 + 1)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed Pareto front (skyline query)
+# ---------------------------------------------------------------------------
+
+def q_pareto_parts(sf_dir: str) -> ray.data.Dataset:
+    """Skyline of the part table under (minimize p_retailprice, minimize
+    p_size): every part not dominated by another that is <= on both and
+    strictly < on at least one.
+
+    Distributed shape (the classic skyline merge): each batch computes
+    its LOCAL front with one lexsort + running-min mask (any global
+    survivor must survive its own batch), fronts concatenate into a
+    single small table, and one final pass over that union yields the
+    global front — O(front²) work only on the tiny merged set, never on
+    the corpus.  Prices compare on the integer-cents grid (oracle
+    parity recipe)."""
+    import ray
+
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def local_front(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["p_retailprice"], 100.0), 0.5)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _pareto_mask(cents, size)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()).filter(pa.array(keep)),
+                "p_size": pa.array(size[keep]),
+                "price_cents": pa.array(cents[keep]),
+            }
+        )
+
+    fronts = (
+        ds.map_batches(local_front, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    blocks = [
+        ray.get(r)
+        for bundle in fronts.iter_internal_ref_bundles()
+        for r in bundle.block_refs
+    ]
+    merged = pa.concat_tables(
+        [b for b in blocks if b.num_rows and "p_partkey" in b.column_names]
+    ).combine_chunks()
+    cents = merged["price_cents"].to_numpy(zero_copy_only=False)
+    size = merged["p_size"].to_numpy(zero_copy_only=False)
+    keep = _pareto_mask(cents, size)
+    out = merged.filter(pa.array(keep))
+    order = pc.sort_indices(out, sort_keys=[("p_partkey", "ascending")])
+    return ray.data.from_arrow(out.take(order))
+
+
+def _pareto_mask(cost_a: np.ndarray, cost_b: np.ndarray) -> np.ndarray:
+    """Non-dominated mask for two minimize-objectives, vectorized:
+    after lexsort by (a asc, b asc), a row is dominated iff some row
+    with strictly smaller a has b <= its b, OR an identical-a
+    predecessor has strictly smaller b (same-a runs keep only their
+    first-b rows, which are duplicates-by-value).  Running minima over
+    the sorted order give both tests without a pair loop."""
+    n = cost_a.size
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((cost_b, cost_a))
+    a, b = cost_a[order], cost_b[order]
+    # running min of b over all STRICTLY-smaller-a prefixes
+    run_min = np.minimum.accumulate(b)
+    new_a = np.concatenate([[True], a[1:] != a[:-1]])
+    # min-b among rows with a' < a: the running min at the last index of
+    # the previous a-run
+    grp = np.cumsum(new_a) - 1  # a-run id per row
+    prev_run_last = np.concatenate([[0], np.nonzero(new_a)[0][1:]]) - 1
+    minb_prev = np.where(
+        grp == 0, np.iinfo(np.int64).max, run_min[prev_run_last[grp]]
+    )
+    dominated = minb_prev <= b
+    # within an equal-a run, rows with b strictly above the run's min are
+    # dominated by the run head (same a, smaller b)
+    run_first_b = b[np.nonzero(new_a)[0]][grp]
+    dominated |= b > run_first_b
+    keep_sorted = ~dominated
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+Q_PARETO_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT a.p_partkey, a.p_size, a.price_cents
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+    AND (b.price_cents < a.price_cents OR b.p_size < a.p_size)
+)
+ORDER BY a.p_partkey
+"""

@@ -199,3 +199,30 @@ def test_stable_hash64_sliced_input():
     sl = full.slice(1, 3)
     compact = pa.array(sl.to_pylist())
     assert np.array_equal(stable_hash64(sl), stable_hash64(compact))
+
+
+def test_pareto_mask_bruteforce():
+    """Vectorized skyline mask equals the O(n^2) definition on random
+    data with heavy ties/duplicates."""
+    import numpy as np
+    from medical_and_charity_document_extraction_system_ray.pipelines.relational import (
+        _pareto_mask,
+    )
+
+    rng = np.random.default_rng(5)
+    for _ in range(30):
+        n = int(rng.integers(1, 60))
+        a = rng.integers(0, 6, n)
+        b = rng.integers(0, 6, n)
+        got = _pareto_mask(a.astype(np.int64), b.astype(np.int64))
+        want = np.array(
+            [
+                not any(
+                    (a[j] <= a[i] and b[j] <= b[i])
+                    and (a[j] < a[i] or b[j] < b[i])
+                    for j in range(n)
+                )
+                for i in range(n)
+            ]
+        )
+        assert np.array_equal(got, want), (a.tolist(), b.tolist())
