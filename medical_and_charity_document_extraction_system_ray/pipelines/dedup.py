@@ -1942,3 +1942,86 @@ SELECT doc_a, doc_b, jaccard FROM (
 )
 WHERE jaccard >= 0.6
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental (ingest-time) exact dedup: new shard vs existing corpus
+# ---------------------------------------------------------------------------
+
+def q_dedup_incremental(sf_dir: str, shard_mod: int = 5) -> ray.data.Dataset:
+    """Ingest-time dedup: admit a document from the *new* shard only if
+    its text is absent from the existing corpus AND it is the first
+    occurrence within the shard.
+
+    The shard split is deterministic (``doc_id % shard_mod ==
+    shard_mod-1`` is "new", ~1/shard_mod of the corpus) so tests and the
+    SQL oracle agree without a side channel.
+
+    Scale shape: ONE text-keyed shuffle, same as ``q_dedup_exact`` —
+    per-batch partials collapse each batch to one row per distinct text
+    carrying (min new id | sentinel, n_old, n_new), so the corpus text
+    crosses the wire at most once per distinct text per batch, and the
+    "index" of existing texts is never materialized anywhere (at 100 TB
+    a broadcast set of all corpus texts would be impossible; the
+    hash-partitioned anti-join shape is the only one that scales).
+    Emits (doc_id, n_new_dups) for every admitted new document.
+    """
+    _SENT = np.iinfo(np.int64).max
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_new = pa.array(ids % shard_mod == shard_mod - 1)
+        prep = pa.table(
+            {
+                "text": t["text"],
+                # sentinel instead of null: Ray's Min aggregate must
+                # never see an all-null partition
+                "new_id": pc.if_else(is_new, t["doc_id"], pa.scalar(_SENT, pa.int64())),
+                "old_cnt": pc.cast(pc.invert(is_new), pa.int64()),
+                "new_cnt": pc.cast(is_new, pa.int64()),
+            }
+        )
+        return prep.group_by("text").aggregate(
+            [("new_id", "min"), ("old_cnt", "sum"), ("new_cnt", "sum")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text")
+        .aggregate(
+            Min("new_id_min", alias_name="doc_id"),
+            Sum("old_cnt_sum", alias_name="n_old"),
+            Sum("new_cnt_sum", alias_name="n_new"),
+        )
+    )
+
+    out_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("n_new_dups", pa.int64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return out_schema.empty_table()
+        keep = pc.and_(
+            pc.equal(t["n_old"], pa.scalar(0, pa.int64())),
+            pc.greater(t["n_new"], pa.scalar(0, pa.int64())),
+        )
+        f = t.filter(keep)
+        return pa.table(
+            {"doc_id": f["doc_id"], "n_new_dups": f["n_new"]}, schema=out_schema
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q_DEDUP_INCREMENTAL_SQL = """
+WITH agg AS (
+  SELECT text,
+         MIN(CASE WHEN doc_id % 5 = 4 THEN doc_id END) AS doc_id,
+         CAST(SUM(CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(SUM(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM documents GROUP BY text
+)
+SELECT doc_id, n_new AS n_new_dups FROM agg WHERE n_old = 0 AND n_new > 0
+"""

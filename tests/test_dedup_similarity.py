@@ -447,3 +447,26 @@ def test_dup_clusters_chain_transitivity(tmp_path):
     assert set(df.index) >= {0, 1, 2}
     assert df.loc[[0, 1, 2], "cluster_rep"].eq(0).all()  # one transitive cluster
     assert 9 not in df.index
+
+
+def test_dedup_incremental_planted(tmp_path):
+    """New shard = doc_id % 5 == 4.  Plant: a new doc duplicating an old
+    text (dropped), a unique new doc (kept, 1), and two new docs sharing
+    a fresh text (kept once under min id, n_new_dups=2)."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_dedup_incremental,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "old alpha"},
+        {"doc_id": 1, "text": "old beta"},
+        {"doc_id": 2, "text": "old gamma"},
+        {"doc_id": 4, "text": "old alpha"},    # new, dup of old -> dropped
+        {"doc_id": 9, "text": "fresh solo"},   # new, unique -> kept (1)
+        {"doc_id": 14, "text": "fresh pair"},  # new, dup within shard
+        {"doc_id": 19, "text": "fresh pair"},  # -> kept once under 14 (2)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = q_dedup_incremental(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [9, 14]
+    assert list(out["n_new_dups"]) == [1, 2]
