@@ -482,6 +482,67 @@ FROM events
 """
 
 
+def q_event_dedup_window(sf_dir: str, window_s: int = 60) -> ray.data.Dataset:
+    """Rapid-repeat event dedup (double-click / retry suppression):
+    within each (user, event_type), drop an event when it follows the
+    previous same-type event by < ``window_s`` seconds.  LAG semantics
+    (gap vs the previous event, kept or not) so the rule is stateless
+    per neighbour pair and shuffles once on the composite key — at
+    100 TB this is one keyed exchange, no iteration, no global state.
+    Deterministic order (ts, event_id) on both sides."""
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "event_id", "event_type", "ts"]
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+    win_us = np.int64(window_s * 1_000_000)
+
+    def dedup(g: pd.DataFrame) -> pa.Table:
+        eids, uids, types = [], [], []
+        for (uid, etype), grp in g.groupby(["user_id", "event_type"], sort=True):
+            order = np.lexsort((grp["event_id"].to_numpy(), grp["ts"].to_numpy()))
+            ts = grp["ts"].to_numpy()[order].astype("datetime64[us]").astype(np.int64)
+            eid = grp["event_id"].to_numpy()[order]
+            keep = np.empty(ts.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = np.diff(ts) >= win_us
+            eids.append(eid[keep])
+            uids.append(np.full(int(keep.sum()), uid, dtype=np.int64))
+            types.append(np.repeat(np.array([etype], dtype=object), int(keep.sum())))
+        if not eids:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(eids), type=pa.int64()),
+                "user_id": pa.array(np.concatenate(uids)),
+                "event_type": pa.array(
+                    np.concatenate(types).tolist(), type=pa.string()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(
+        dedup, batch_format="pandas"
+    )
+
+
+Q_EVENT_DEDUP_WINDOW_SQL = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id)) AS gap_us
+  FROM events
+) WHERE gap_us IS NULL OR gap_us >= 60000000
+"""
+
+
 def q_user_value_ntiles(sf_dir: str, n: int = 4) -> ray.data.Dataset:
     """NTILE(4) per user over (value, event_id) order — quartile
     bucketing inside each key, deterministic tie-break.  Keyed shuffle +

@@ -148,3 +148,30 @@ def test_dup_canonical_keeps_longest(tmp_path):
     assert out["doc_id"].tolist() == [10, 11]
     assert out["keep"].tolist() == [False, True]  # 11 is longer
     assert (out["cluster_rep"] == 10).all()
+
+
+def test_event_dedup_window_boundaries(tmp_path):
+    """Gap == window is KEPT (>=); gap == window-1us dropped; the rule
+    compares against the previous event kept-or-not (LAG semantics, so
+    a run of rapid repeats keeps only its head until a full-window gap
+    appears vs the immediate predecessor); types are independent."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_event_dedup_window,
+    )
+
+    s = 1_000_000
+    t0 = 1_700_000_000 * s
+    ts = [
+        t0,             # e0 click  kept (first)
+        t0 + 60 * s,    # e1 click  kept (gap == 60s, boundary in)
+        t0 + 90 * s,    # e2 click  dropped (30s after e1)
+        t0 + 149 * s,   # e3 click  dropped (59s after e2 — LAG vs e2, not e1)
+        t0 + 210 * s,   # e4 click  kept (61s after e3)
+        t0 + 90 * s,    # e5 view   kept (different type)
+    ]
+    root = _write_events(
+        tmp_path, ts, [7] * 6, [1.0] * 6,
+        ["click", "click", "click", "click", "click", "view"],
+    )
+    out = q_event_dedup_window(root).to_pandas().sort_values("event_id")
+    assert list(out["event_id"]) == [0, 1, 4, 5]
