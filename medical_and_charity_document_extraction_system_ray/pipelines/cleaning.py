@@ -394,3 +394,206 @@ WITH tok AS (
 SELECT source, FLOOR(SUM(term) * 1000000) / 1000000 AS jsd
 FROM terms GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Repeated-passage removal (C4-style cross-document segment dedup)
+# ---------------------------------------------------------------------------
+
+_SEG_LEN = 8
+_SEG_P = np.uint64(1099511628211)
+_SEG_BUCKETS = 64
+
+
+def q_segment_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
+    """C4/RefinedWeb-style repeated-passage removal: split every doc
+    into consecutive non-overlapping 8-token segments; a segment whose
+    exact text occurs in >= ``min_docs`` DISTINCT documents is removed
+    from all of them.  Emits per doc (n_segments, n_dropped,
+    kept_tokens = n_tokens - 8*n_dropped).
+
+    Scale shape: ONE scan — the explode emits (bucket, seg_hash,
+    doc_id, occ) with per-doc stats riding the same table under
+    stats-buckets (64+doc_id%64, so no single-group skew) — then a
+    64+64-way bucket groupby resolves segment frequency fully
+    vectorized (sorted run lengths, no per-segment python), and a final
+    doc_id groupby merges partials.  The shuffle carries 32 B/segment
+    (hash+ids), never segment text; frequency is exact, not sketched.
+    Segment identity is a Horner fold of the 8 token hashes — the SQL
+    oracle compares the actual segment strings, so a hash collision
+    would surface as a gate mismatch."""
+    from .dedup import _token_hashes_per_row
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    weights = _SEG_P ** np.arange(_SEG_LEN - 1, -1, -1, dtype=np.uint64)
+
+    mid_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("seg_hash", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("occ", pa.int64()),
+        ]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        th, rows = _token_hashes_per_row(_arr(t["text"]))
+        doc_np = _arr(t["doc_id"]).to_numpy(zero_copy_only=False)
+        n_rows = t.num_rows
+        n_tok = np.bincount(rows, minlength=n_rows).astype(np.int64)
+        n_seg = n_tok // _SEG_LEN
+        starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]]).astype(np.int64)
+        pos = np.arange(rows.size, dtype=np.int64) - starts[rows]
+        keep = pos < n_seg[rows] * _SEG_LEN
+        with np.errstate(over="ignore"):
+            contrib = th[keep] * weights[pos[keep] % _SEG_LEN]
+            # kept tokens are row-major prefixes, so each segment's 8
+            # contributions are consecutive: one reshape-sum, no scatter
+            seg_hash = contrib.reshape(-1, _SEG_LEN).sum(
+                axis=1, dtype=np.uint64
+            )
+        seg_doc = np.repeat(doc_np, n_seg)
+        # occurrences per (hash, doc) — docs never span batches, so
+        # these rows are globally unique after the local collapse
+        order = np.lexsort((seg_hash, seg_doc))
+        h, d = seg_hash[order], seg_doc[order]
+        if h.size:
+            bnd = np.concatenate([[True], (h[1:] != h[:-1]) | (d[1:] != d[:-1])])
+            idx = np.flatnonzero(bnd)
+            occ = np.diff(np.concatenate([idx, [h.size]]))
+            hu, du = h[idx], d[idx]
+        else:
+            hu = np.empty(0, np.uint64)
+            du = occ = np.empty(0, np.int64)
+        hi = hu.view(np.int64)
+        seg_part = pa.table(
+            {
+                "bucket": pa.array((hu % np.uint64(_SEG_BUCKETS)).astype(np.int64)),
+                "seg_hash": pa.array(hi),
+                "doc_id": pa.array(du.astype(np.int64)),
+                "occ": pa.array(occ.astype(np.int64)),
+            },
+            schema=mid_schema,
+        )
+        # per-doc stats ride the same table: bucket >= _SEG_BUCKETS,
+        # seg_hash carries n_tokens, occ carries n_segments
+        stats_part = pa.table(
+            {
+                "bucket": pa.array(_SEG_BUCKETS + (doc_np % _SEG_BUCKETS)),
+                "seg_hash": pa.array(n_tok),
+                "doc_id": pa.array(doc_np),
+                "occ": pa.array(n_seg),
+            },
+            schema=mid_schema,
+        )
+        return pa.concat_tables([seg_part, stats_part])
+
+    mid = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    part_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_segments", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_dropped", pa.int64()),
+        ]
+    )
+
+    def resolve(g: "pd.DataFrame") -> pa.Table:
+        if len(g) == 0:
+            return part_schema.empty_table()
+        if int(g["bucket"].iloc[0]) >= _SEG_BUCKETS:
+            return pa.table(
+                {
+                    "doc_id": pa.array(g["doc_id"].to_numpy()),
+                    "n_segments": pa.array(g["occ"].to_numpy()),
+                    "n_tokens": pa.array(g["seg_hash"].to_numpy()),
+                    "n_dropped": pa.array(np.zeros(len(g), np.int64)),
+                },
+                schema=part_schema,
+            )
+        h = g["seg_hash"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        occ = g["occ"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        bnd = np.concatenate([[True], hs[1:] != hs[:-1]])
+        run_id = np.cumsum(bnd) - 1
+        run_len = np.bincount(run_id)
+        frequent = run_len[run_id] >= min_docs  # rows unique per doc
+        sel = order[frequent]
+        if sel.size == 0:
+            return part_schema.empty_table()
+        docs_u, inv = np.unique(d[sel], return_inverse=True)
+        dropped = np.bincount(inv, weights=occ[sel]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs_u),
+                "n_segments": pa.array(np.zeros(docs_u.size, np.int64)),
+                "n_tokens": pa.array(np.zeros(docs_u.size, np.int64)),
+                "n_dropped": pa.array(dropped),
+            },
+            schema=part_schema,
+        )
+
+    parts = mid.groupby("bucket").map_groups(resolve, batch_format="pandas")
+
+    agg = parts.groupby("doc_id").aggregate(
+        Sum("n_segments", alias_name="n_segments"),
+        Sum("n_tokens", alias_name="n_tokens"),
+        Sum("n_dropped", alias_name="n_dropped"),
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_segments", pa.int64()),
+            ("n_dropped", pa.int64()),
+            ("kept_tokens", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return out_schema.empty_table()
+        kept = pc.subtract(
+            t["n_tokens"], pc.multiply(t["n_dropped"], pa.scalar(8, pa.int64()))
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_segments": t["n_segments"],
+                "n_dropped": t["n_dropped"],
+                "kept_tokens": kept,
+            },
+            schema=out_schema,
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q_SEGMENT_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                               '\s+') AS ws
+  FROM documents
+), segs AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         list_transform(range(0, len(ws) // 8),
+                        i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS seglist
+  FROM toks
+), ex AS (
+  SELECT doc_id, UNNEST(seglist) AS seg FROM segs
+), freq AS (
+  SELECT seg FROM ex GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+), dropped AS (
+  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dropped
+  FROM ex e JOIN freq f USING (seg) GROUP BY e.doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.seglist) AS BIGINT) AS n_segments,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(s.n_tokens - 8 * COALESCE(d.n_dropped, 0) AS BIGINT) AS kept_tokens
+FROM segs s LEFT JOIN dropped d USING (doc_id)
+"""

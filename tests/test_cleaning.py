@@ -131,3 +131,36 @@ def test_split_deterministic_and_total(tmp_path):
     assert a["split"].tolist() == b["split"].tolist()
     assert set(a["split"]) <= {"train", "val", "test"}
     assert a["split"].value_counts()["train"] > 30  # ~80 % of 60
+
+
+def test_segment_dedup_planted(tmp_path):
+    """A shared 8-token segment is dropped from BOTH docs (each
+    occurrence counted); a segment repeated only WITHIN one doc stays
+    (frequency counts distinct docs); tail tokens (<8) never count as a
+    segment but stay in kept_tokens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_segment_dedup,
+    )
+
+    shared = "a b c d e f g h"          # the frequent segment
+    solo = "p q r s t u v w"            # unique to doc 2, repeated there
+    rows = [
+        # doc 0: shared + 8 unique + 3-token tail -> 2 segs, 1 dropped
+        {"doc_id": 0, "text": shared + " i j k l m n o zz tail one two"},
+        # doc 1: unique 8 + shared -> 2 segs, 1 dropped
+        {"doc_id": 1, "text": "z y x w v u t s " + shared},
+        # doc 2: solo twice (same doc!) -> 2 segs, 0 dropped
+        {"doc_id": 2, "text": solo + " " + solo},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = (
+        q_segment_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_segments"]) == [2, 2, 2]
+    assert list(out["n_dropped"]) == [1, 1, 0]
+    assert list(out["kept_tokens"]) == [19 - 8, 16 - 8, 16]
