@@ -1630,6 +1630,7 @@ def q_setsim_prefix_join(
     threshold: float = 0.6,
     join_partitions: int = 8,
     broadcast_pairs_threshold: int = 200_000,
+    broadcast_sets_bytes: int = 1 << 30,
 ) -> ray.data.Dataset:
     """ALL pairs with word-3-gram-shingle Jaccard >= ``threshold``, found
     by prefix filtering (SSJoin/PPJoin family) — exact recall with no
@@ -1645,11 +1646,17 @@ def q_setsim_prefix_join(
     shingle set as ``large_binary`` (list-typed non-key columns break
     Acero joins) and is materialized ONCE to the object store (at
     100 TB: a parquet spill reused by both consumers); (2) the inverted
-    index shuffles ``(prefix_gram, doc_id)`` rows only — with t=0.6
-    that is ~40 % of distinct shingles, no text; (3) candidate pairs
-    are globally deduped (groupby), re-joined to their packed sets with
-    two hash joins, and verified by ONE vectorized sort-merge
-    intersection over the whole batch (no per-pair python loop)."""
+    index shuffles ``(prefix_gram, doc_id, set_size)`` rows only — with
+    t=0.6 that is ~40 % of distinct shingles, no text; (3) candidate
+    pairs pass the PPJoin length filter and a per-bucket local dedup
+    BEFORE any exchange; (4) verification is regime-adaptive:
+    broadcast-sets (packed sets fit the object store: ``ray.put`` once,
+    parallel map_batches verify, survivors deduped by a groupby over
+    the tiny result — the dominant regime, no joins), broadcast-pairs
+    (few candidates but huge sets: driver-side verify against filtered
+    set blocks), or two hash joins + batch sort-merge intersection (the
+    100 TB dup-heavy fallback).  Every regime uses the same vectorized
+    whole-batch intersection — no per-pair python loop."""
     import ray
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1711,6 +1718,7 @@ def q_setsim_prefix_join(
         flat_idx = _expand_ranges(boffs[:-1], plen)
         grams = raw[flat_idx]
         doc_rep = np.repeat(ids, plen)
+        size_rep = np.repeat(sizes, plen)
         return pa.table(
             {
                 "gram": pa.array(grams),
@@ -1720,18 +1728,34 @@ def q_setsim_prefix_join(
                     )
                 ),
                 "doc_id": pa.array(doc_rep),
+                "set_size": pa.array(size_rep.astype(np.int64)),
             }
         )
 
     prefix_rows = sets.map_batches(
         emit_prefix, batch_format="pyarrow", zero_copy_batch=True
-    ).repartition(max(2, _COARSE_BUCKETS // 8))
+    ).repartition(max(2, _COARSE_BUCKETS // 2))
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        a, b = _run_pairs(
-            g["gram"].to_numpy(zero_copy_only=False),
-            g["doc_id"].to_numpy(zero_copy_only=False),
-        )
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        a, b = _run_pairs(g["gram"].to_numpy(zero_copy_only=False), ids)
+        if a.size:
+            # PPJoin length filter: jac >= t forces t·|B| <= |A| (and
+            # symmetrically), so size-incompatible pairs skip the
+            # expensive set intersection entirely (~35% at t=0.6 here)
+            szs = g["set_size"].to_numpy(zero_copy_only=False)
+            uids, first = np.unique(ids, return_index=True)
+            usz = szs[first]  # sparse id->size (ids can be arbitrary int64)
+            sa = usz[np.searchsorted(uids, a)]
+            sb = usz[np.searchsorted(uids, b)]
+            tnum = int(round(threshold * 1_000_000))
+            ok = (sa * 1_000_000 >= sb * tnum) & (sb * 1_000_000 >= sa * tnum)
+            a, b = a[ok], b[ok]
+            if a.size:
+                # local dedup (a pair repeats once per shared prefix
+                # gram in this bucket) — no shuffle needed
+                ab = np.unique(np.stack([a, b], axis=1), axis=0)
+                a, b = ab[:, 0], ab[:, 1]
         return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
 
     cand = (
@@ -1742,6 +1766,94 @@ def q_setsim_prefix_join(
     n_cand = cand.count()
     if n_cand == 0:
         return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+
+    if 0 < sets.size_bytes() <= broadcast_sets_bytes:
+        # -- broadcast-sets path (the dominant mid-scale regime): the
+        # packed shingle sets fit comfortably in the object store as ONE
+        # flat block, so broadcast them via ray.put and verify candidate
+        # pairs in parallel map_batches — no Acero joins, no driver-side
+        # verify loop.  (At sf0.1 this replaced a 35-60 s two-join plan
+        # with ~2 s: the joins replicated ~2 KB of set bytes per
+        # candidate pair, ~1 GB of shuffle for a 450 k-pair list whose
+        # referenced sets total 12 MB.)
+        ids_parts, sizes_parts, vals_parts = [], [], []
+        for bundle in sets.iter_internal_ref_bundles():
+            for r in bundle.block_refs:
+                b = ray.get(r)
+                if not b.num_rows or "doc_id" not in b.column_names:
+                    continue
+                b = b.combine_chunks()
+                arr = b["set_bytes"].combine_chunks()
+                raw = np.frombuffer(arr.buffers()[2], dtype=np.int64)
+                offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                    arr.offset : arr.offset + b.num_rows + 1
+                ] // 8
+                szs = b["set_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+                vals_parts.append(raw[_expand_ranges(offs[:-1], szs)])
+                ids_parts.append(b["doc_id"].to_numpy(zero_copy_only=False))
+                sizes_parts.append(szs)
+        lids = np.concatenate(ids_parts)
+        lsizes = np.concatenate(sizes_parts)
+        lvals = np.concatenate(vals_parts)
+        order = np.argsort(lids)
+        loffs_un = np.concatenate([[0], np.cumsum(lsizes)]).astype(np.int64)
+        lvals = lvals[_expand_ranges(loffs_un[order], lsizes[order])]
+        lids, lsizes = lids[order], lsizes[order]
+        loffs = np.concatenate([[0], np.cumsum(lsizes)]).astype(np.int64)
+        sets_ref = ray.put((lids, lsizes, loffs, lvals))
+
+        # NO global pair dedup before verify: a distributed groupby over
+        # the full candidate list cost 30+ s at sf0.1 while cross-bucket
+        # duplicate pairs are <5% after the local per-bucket dedup —
+        # verify every occurrence and dedup the (small) survivor set
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "doc_a" not in t.column_names:
+                return _PAIR_SCHEMA.empty_table()
+            bids, bsizes, boffs, bvals = ray.get(sets_ref)
+            pa_ids = t["doc_a"].to_numpy(zero_copy_only=False)
+            pb_ids = t["doc_b"].to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(bids, pa_ids)
+            ib = np.searchsorted(bids, pb_ids)
+            npairs = len(pa_ids)
+            sa, sb = bsizes[ia], bsizes[ib]
+            pair_lab = np.concatenate(
+                [np.repeat(np.arange(npairs), sa), np.repeat(np.arange(npairs), sb)]
+            )
+            vals = np.concatenate(
+                [
+                    bvals[_expand_ranges(boffs[ia], sa)],
+                    bvals[_expand_ranges(boffs[ib], sb)],
+                ]
+            )
+            so = np.lexsort((vals, pair_lab))
+            pl, vl = pair_lab[so], vals[so]
+            dup = (pl[1:] == pl[:-1]) & (vl[1:] == vl[:-1])
+            inter = np.bincount(pl[1:][dup], minlength=npairs)
+            union = sa + sb - inter
+            jac = np.floor(np.where(union > 0, inter / union, 1.0) * 1e6) / 1e6
+            keep = jac >= threshold
+            return pa.table(
+                {
+                    "doc_a": pa.array(pa_ids[keep], type=pa.int64()),
+                    "doc_b": pa.array(pb_ids[keep], type=pa.int64()),
+                    "jaccard": pa.array(jac[keep]),
+                },
+                schema=_PAIR_SCHEMA,
+            )
+
+        survivors = cand.map_batches(
+            verify_broadcast, batch_format="pyarrow", batch_size=16384
+        )
+        verified = (
+            survivors.groupby(["doc_a", "doc_b"])
+            .aggregate(Min("jaccard", alias_name="jaccard"))
+            .map_batches(_with_schema(_PAIR_SCHEMA), batch_format="pyarrow")
+            .materialize()
+        )
+        if verified.count() == 0:
+            return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+        return verified
 
     if n_cand <= broadcast_pairs_threshold:
         # -- broadcast path (the common regime): the pair list is the

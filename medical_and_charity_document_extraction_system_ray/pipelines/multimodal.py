@@ -552,3 +552,247 @@ def extract_audio_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup (pHash: 32x32 DCT -> 64-bit sketch)
+# ---------------------------------------------------------------------------
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the pHash transform; cv2.dct analog)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def phash64(img: np.ndarray, dct: np.ndarray) -> np.uint64:
+    """Classic pHash: grayscale -> 32x32 -> 2-D DCT -> low-frequency
+    8x8 block -> bit per coefficient above the block median."""
+    small = resize_bilinear(img, 32, 32).astype(np.float64)
+    coef = (dct @ small @ dct.T)[:8, :8].reshape(-1)
+    bits = coef > np.median(coef)
+    return np.uint64(np.packbits(bits).view(">u8")[0])
+
+
+class PHashExtractor:
+    """Actor: media_ref -> 64-bit perceptual hash.  Resolver + DCT basis
+    built once per actor; decode failures become error rows."""
+
+    def __init__(self):
+        self.resolver = MediaResolver()
+        self.dct = _dct_matrix(32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        n = len(refs)
+        ph = np.zeros(n, np.uint64)
+        ok = np.ones(n, bool)
+        for i, ref in enumerate(refs):
+            try:
+                img = self.resolver.resolve(ref)
+                if img.ndim == 3:
+                    img = img.mean(axis=2).astype(np.uint8)
+                ph[i] = phash64(img, self.dct)
+            except Exception:
+                ok[i] = False
+        cols = {name: batch.column(name) for name in batch.column_names}
+        cols["phash"] = pa.array(ph.view(np.int64))
+        cols["success"] = pa.array(ok)
+        return pa.table(cols)
+
+
+_SPAN_OFF_BITS = 12  # span offsets are chunk indices, far below 4096
+
+
+def _media_spans(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    from ..sources.derive import flat_to_interleaved
+    from ..sources.readers import read_table
+    from ..stages.classify import classify_and_explode
+
+    flat = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = flat.map_batches(flat_to_interleaved, batch_format="pyarrow")
+    spans = docs.map_batches(classify_and_explode, batch_format="pyarrow")
+    return spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")).select(
+            ["doc_id", "offset", "media_ref"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_image_phash_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """Near-duplicate IMAGES by perceptual hash: every media span is
+    pHashed (actor pool), then the SimHash machinery finds all pairs at
+    hamming <= 3 exactly (4 x 16-bit bands, pigeonhole).  Identical
+    payloads get identical pHashes, near-identical renders land within
+    a few bits — the image-side analog of the text near-dup family.
+
+    Rows-only for the driver (a 32x32 DCT is not expressible in SQL);
+    accuracy is gated by ``q_image_phash_check`` (exact-duplicate
+    payload pairs MUST be found at hamming 0, count value-oracled) and
+    a planted-perturbation pytest.  Scale shape: the band shuffle moves
+    (band_key, span_id, phash) = 24 B/row x 4 bands, never pixels;
+    bucket pair generation is slab-bounded (dedup._iter_pair_slabs)."""
+    from ray.data.aggregate import Min
+
+    from .dedup import _COARSE_BUCKETS, _iter_pair_slabs, _popcount64
+
+    feats = _media_spans(sf_dir).map_batches(
+        PHashExtractor, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        t = t.filter(t["success"])
+        docnum = pa.compute.cast(
+            pa.compute.utf8_slice_codeunits(t["doc_id"], 4, 32), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        off = t["offset"].to_numpy(zero_copy_only=False).astype(np.int64)
+        span_id = (docnum << _SPAN_OFF_BITS) | off
+        ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(span_id)
+        band_key = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            band_key[b * n : (b + 1) * n] = (
+                ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+                + (b << 16)
+            )
+        return pa.table(
+            {
+                "band_key": pa.array(band_key),
+                "bucket": pa.array((band_key % _COARSE_BUCKETS).astype(np.int32)),
+                "span_id": pa.array(np.tile(span_id, 4)),
+                "phash": pa.array(np.tile(ph.astype(np.int64), 4)),
+            }
+        )
+
+    bands = feats.map_batches(to_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        keys = g["band_key"].to_numpy(zero_copy_only=False)
+        ids = g["span_id"].to_numpy(zero_copy_only=False)
+        hs = g["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, keys))
+        k, v, h = keys[order], ids[order], hs[order]
+        starts = np.nonzero(np.concatenate([[True], k[1:] != k[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [k.size]])
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            for ii, jj in _iter_pair_slabs(m):
+                ham = _popcount64(np.bitwise_xor(h[s:e][ii], h[s:e][jj]))
+                keep = ham <= max_hamming
+                out_a.append(v[s:e][ii][keep])
+                out_b.append(v[s:e][jj][keep])
+                out_h.append(ham[keep])
+        if out_a:
+            a = np.concatenate(out_a).astype(np.int64)
+            b = np.concatenate(out_b).astype(np.int64)
+            hm = np.concatenate(out_h).astype(np.int64)
+            keep = a != b
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            a, b, hm = lo[keep], hi[keep], hm[keep]
+        else:
+            a = b = hm = np.empty(0, np.int64)
+        return pa.table(
+            {"span_a": pa.array(a), "span_b": pa.array(b), "hamming": pa.array(hm)}
+        )
+
+    cand = bands.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    uniq = cand.groupby(["span_a", "span_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_a", pa.string()),
+            ("off_a", pa.int64()),
+            ("doc_b", pa.string()),
+            ("off_b", pa.int64()),
+            ("hamming", pa.int64()),
+        ]
+    )
+    mask = np.int64((1 << _SPAN_OFF_BITS) - 1)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "span_a" not in t.column_names:
+            return out_schema.empty_table()
+        a = t["span_a"].to_numpy(zero_copy_only=False)
+        b = t["span_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_a": pa.array(
+                    ["doc-%d" % x for x in (a >> _SPAN_OFF_BITS)], pa.string()
+                ),
+                "off_a": pa.array(a & mask),
+                "doc_b": pa.array(
+                    ["doc-%d" % x for x in (b >> _SPAN_OFF_BITS)], pa.string()
+                ),
+                "off_b": pa.array(b & mask),
+                "hamming": t["hamming"],
+            },
+            schema=out_schema,
+        )
+
+    result = uniq.map_batches(unpack, batch_format="pyarrow").materialize()
+    if result.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return result
+
+
+def q_image_phash_check(sf_dir: str) -> pa.Table:
+    """Value-oracled accuracy gate for the pHash near-dup: media spans
+    with byte-identical payloads MUST surface as hamming-0 pairs.  The
+    exact-duplicate pair count is recomputed by the SQL oracle from the
+    derived span chunks (media_ref is a pure function of the chunk), so
+    a pHash/banding regression that loses exact dups fails the
+    hash-match."""
+    import pandas as pd
+
+    pairs = q_image_phash_neardup(sf_dir).to_pandas()
+    spans = _media_spans(sf_dir).to_pandas()
+    dup = spans.groupby("media_ref").size()
+    n_exact = int(sum(c * (c - 1) // 2 for c in dup[dup > 1]))
+    # every exact-dup pair must be reported with hamming == 0
+    by_ref = spans.groupby("media_ref")
+    found = 0
+    zero = {
+        (ra, oa, rb, ob)
+        for ra, oa, rb, ob in zip(
+            pairs["doc_a"], pairs["off_a"], pairs["doc_b"], pairs["off_b"]
+        )
+    } if len(pairs) else set()
+    for _, grp in by_ref:
+        if len(grp) < 2:
+            continue
+        g = grp.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                ka = (g["doc_id"][i], g["offset"][i], g["doc_id"][j], g["offset"][j])
+                kb = (g["doc_id"][j], g["offset"][j], g["doc_id"][i], g["offset"][i])
+                if ka in zero or kb in zero:
+                    found += 1
+    return pa.table(
+        {
+            "n_exact_dup_pairs": pa.array([n_exact], pa.int64()),
+            "exact_dups_found": pa.array([found == n_exact], pa.bool_()),
+        }
+    )
+
+
+from ..sources.derive import DERIVED_SPANS_SQL as _SPANS_SQL2  # noqa: E402
+
+Q_IMAGE_PHASH_CHECK_SQL = (
+    _SPANS_SQL2
+    + """
+SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_exact_dup_pairs,
+       TRUE AS exact_dups_found
+FROM (SELECT chunk, COUNT(*) AS c FROM spans WHERE is_media GROUP BY chunk)
+WHERE c > 1
+"""
+)

@@ -23,6 +23,7 @@ ROWS_ONLY = {
     "knn_pq",
     "media_features",
     "page_regions",
+    "image_phash_neardup",
 }
 
 
@@ -36,7 +37,8 @@ def test_oracle_keys_cover_queries():
     # each rows-only op keeps a value-oracled companion gate
     for gate in ("approx_distinct_check", "knn_ivf_recall", "knn_pq_recall",
                  "media_features_geometry", "page_regions_check",
-                 "heavy_hitters_check", "hll_check", "kmeans_check", "cms_check"):
+                 "heavy_hitters_check", "hll_check", "kmeans_check", "cms_check",
+                 "image_phash_check"):
         assert gate in o, f"missing companion gate {gate}"
 
 

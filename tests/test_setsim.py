@@ -170,8 +170,8 @@ def test_cms_one_sided_and_linear(tmp_path):
 
 
 def test_setsim_join_path_matches_broadcast(tmp_path):
-    """Forcing the hash-join fallback (broadcast threshold 0) yields the
-    same verified pairs as the broadcast path."""
+    """All three verify regimes (broadcast-sets, broadcast-pairs,
+    hash-join fallback) yield identical verified pairs."""
     from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
         q_setsim_prefix_join,
     )
@@ -180,10 +180,13 @@ def test_setsim_join_path_matches_broadcast(tmp_path):
     near = " ".join(f"tok{i}" for i in range(38)) + " zzz yyy"
     far = " ".join(f"other{i}" for i in range(40))
     sf = _write_docs(tmp_path, [base, near, far])
-    fast = q_setsim_prefix_join(sf).to_pandas()
-    slow = q_setsim_prefix_join(sf, broadcast_pairs_threshold=0).to_pandas()
+    bsets = q_setsim_prefix_join(sf).to_pandas()
+    bpairs = q_setsim_prefix_join(sf, broadcast_sets_bytes=0).to_pandas()
+    joins = q_setsim_prefix_join(
+        sf, broadcast_sets_bytes=0, broadcast_pairs_threshold=0
+    ).to_pandas()
     key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["jaccard"]))
-    assert key(fast) == key(slow) == [(0, 1, 0.9)]
+    assert key(bsets) == key(bpairs) == key(joins) == [(0, 1, 0.9)]
 
 
 def test_stable_hash64_sliced_input():
