@@ -597,3 +597,308 @@ SELECT s.doc_id,
        CAST(s.n_tokens - 8 * COALESCE(d.n_dropped, 0) AS BIGINT) AS kept_tokens
 FROM segs s LEFT JOIN dropped d USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate prefix detection (shared headers/footers shape)
+# ---------------------------------------------------------------------------
+
+def q_boilerplate_prefixes(sf_dir: str, k: int = 8, min_docs: int = 2) -> ray.data.Dataset:
+    """Leading-boilerplate detection: the first ``k`` tokens of each doc
+    form its prefix; prefixes shared by >= ``min_docs`` DISTINCT docs
+    are reported with their doc counts — the header/footer-boilerplate
+    sweep every web pipeline runs before dedup.
+
+    Scale shape: per-batch partials collapse to one (prefix, n_docs)
+    row per distinct prefix per batch (a doc never spans batches), so
+    the single groupby shuffles ~60 B/distinct-prefix; no full text
+    moves."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema([("prefix", pa.string()), ("n_docs", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.replace_substring_regex(_arr(t["text"]), r"^\s+|\s+$", "")
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        keep = nt >= k
+        sliced = pc.list_slice(toks.filter(pa.array(keep)), 0, k)
+        joined = pc.binary_join(pc.cast(sliced, pa.list_(pa.string())), " ")
+        return (
+            pa.table({"prefix": joined})
+            .group_by("prefix")
+            .aggregate([("prefix", "count")])
+            .rename_columns(["prefix", "n_docs"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("prefix")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "prefix" not in t.column_names:
+            return out_schema.empty_table()
+        f = t.filter(pc.greater_equal(t["n_docs"], pa.scalar(min_docs, pa.int64())))
+        return pa.table(
+            {"prefix": f["prefix"], "n_docs": f["n_docs"]}, schema=out_schema
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q_BOILERPLATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                               '\s+') AS ws
+  FROM documents
+)
+SELECT array_to_string(ws[1:8], ' ') AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM toks WHERE len(ws) >= 8
+GROUP BY prefix HAVING COUNT(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (CDC: rolling-hash breakpoints)
+# ---------------------------------------------------------------------------
+
+_CDC_P = np.uint64(1099511628211)   # the Horner base every oracle shares
+_CDC_W = 8                           # rolling-window chars
+_CDC_MASK = 64                       # break when window hash % 64 == 0
+_CDC_BUCKETS = 64
+
+
+def q_cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
+    """Cross-document dedup over CONTENT-DEFINED chunks (the
+    rsync/LBFS/FastCDC shape): a chunk boundary falls after any char
+    whose trailing 8-char Horner hash is ≡ 0 (mod 64) — so boundaries
+    travel with the content, and an insertion near the head of a doc
+    re-aligns within ~one chunk instead of shifting every fixed-width
+    segment (the known weakness of ``q_segment_dedup``).  A chunk whose
+    exact text occurs in >= ``min_docs`` distinct docs is a duplicate;
+    emits per doc (n_chunks, n_dup_chunks, dup_chars).
+
+    Scale shape mirrors segment_dedup: one scan emits (bucket,
+    chunk_hash, doc_id, occ, chars) plus per-doc stats rows under
+    skew-free stats buckets; a 128-way bucket groupby resolves exact
+    distinct-doc frequency with sorted run lengths; a final doc_id
+    groupby merges partials.  Chunking itself is pure flat-array numpy
+    (window hash = 8 shifted multiply-adds; chunk hashes via one
+    ``np.add.reduceat`` with end-relative Horner weights) — no per-doc
+    python.  The SQL oracle re-derives breakpoints, chunk hashes and
+    frequencies from ``unicode()`` codepoints with hugeint arithmetic,
+    so chunking drift fails the value gate."""
+    from ..functions.text import utf8_codepoints
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    wpow = _CDC_P ** np.arange(_CDC_W, dtype=np.uint64)  # P^j for cp[i-j]
+
+    mid_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("chunk_hash", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("occ", pa.int64()),
+            ("chars", pa.int64()),
+        ]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        cps, rows = utf8_codepoints(_arr(t["text"]))
+        doc_np = _arr(t["doc_id"]).to_numpy(zero_copy_only=False)
+        n_rows = t.num_rows
+        nf = cps.size
+        row_counts = np.bincount(rows, minlength=n_rows).astype(np.int64)
+        row_ends = np.cumsum(row_counts)
+        row_starts = row_ends - row_counts
+        idx = np.arange(nf, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            hwin = np.zeros(nf, dtype=np.uint64)
+            for j in range(_CDC_W):
+                hwin[j:] += cps[: nf - j] * wpow[j] if j else cps * wpow[0]
+        valid = np.zeros(nf, dtype=bool)
+        if nf >= _CDC_W:
+            valid[_CDC_W - 1 :] = rows[_CDC_W - 1 :] == rows[: nf - _CDC_W + 1]
+        isbrk = valid & (hwin % np.uint64(_CDC_MASK) == 0)
+        # a break on a row's last char is a no-op boundary
+        isbrk &= idx != (row_ends[rows] - 1)
+        brk = np.flatnonzero(isbrk)
+        starts_all = np.sort(
+            np.concatenate([row_starts[row_counts > 0], brk + 1])
+        )
+        n_chunk_rows = np.bincount(rows[starts_all], minlength=n_rows).astype(
+            np.int64
+        )
+        if starts_all.size:
+            ends_all = np.concatenate([starts_all[1:], [nf]])
+            lens = ends_all - starts_all
+            cid = np.searchsorted(starts_all, idx, side="right") - 1
+            e = ends_all[cid] - 1 - idx
+            ppow = np.ones(int(lens.max()), dtype=np.uint64)
+            for k in range(1, ppow.size):
+                ppow[k] = ppow[k - 1] * _CDC_P
+            with np.errstate(over="ignore"):
+                ch = np.add.reduceat(cps * ppow[e], starts_all, dtype=np.uint64)
+            cdoc = doc_np[rows[starts_all]]
+            # collapse to (hash, doc) occurrence counts + char sums
+            order = np.lexsort((ch, cdoc))
+            h, d, ln = ch[order], cdoc[order], lens[order]
+            bnd = np.concatenate([[True], (h[1:] != h[:-1]) | (d[1:] != d[:-1])])
+            gid = np.cumsum(bnd) - 1
+            occ = np.bincount(gid)
+            chars = np.bincount(gid, weights=ln).astype(np.int64)
+            first = np.flatnonzero(bnd)
+            hu, du = h[first], d[first]
+        else:
+            hu = np.empty(0, np.uint64)
+            du = occ = chars = np.empty(0, np.int64)
+        chunk_part = pa.table(
+            {
+                "bucket": pa.array(
+                    (hu % np.uint64(_CDC_BUCKETS)).astype(np.int64)
+                ),
+                "chunk_hash": pa.array(hu.view(np.int64)),
+                "doc_id": pa.array(du.astype(np.int64)),
+                "occ": pa.array(occ.astype(np.int64)),
+                "chars": pa.array(chars),
+            },
+            schema=mid_schema,
+        )
+        stats_part = pa.table(
+            {
+                "bucket": pa.array(_CDC_BUCKETS + (doc_np % _CDC_BUCKETS)),
+                "chunk_hash": pa.array(np.zeros(n_rows, np.int64)),
+                "doc_id": pa.array(doc_np),
+                "occ": pa.array(n_chunk_rows),
+                "chars": pa.array(np.zeros(n_rows, np.int64)),
+            },
+            schema=mid_schema,
+        )
+        return pa.concat_tables([chunk_part, stats_part])
+
+    mid = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    part_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_chunks", pa.int64()),
+            ("n_dup_chunks", pa.int64()),
+            ("dup_chars", pa.int64()),
+        ]
+    )
+
+    def resolve(g: "pd.DataFrame") -> pa.Table:
+        if len(g) == 0:
+            return part_schema.empty_table()
+        if int(g["bucket"].iloc[0]) >= _CDC_BUCKETS:
+            z = np.zeros(len(g), np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(g["doc_id"].to_numpy()),
+                    "n_chunks": pa.array(g["occ"].to_numpy()),
+                    "n_dup_chunks": pa.array(z),
+                    "dup_chars": pa.array(z),
+                },
+                schema=part_schema,
+            )
+        h = g["chunk_hash"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        occ = g["occ"].to_numpy()
+        chars = g["chars"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        bnd = np.concatenate([[True], hs[1:] != hs[:-1]])
+        run_id = np.cumsum(bnd) - 1
+        run_len = np.bincount(run_id)
+        frequent = run_len[run_id] >= min_docs  # (hash, doc) rows unique
+        sel = order[frequent]
+        if sel.size == 0:
+            return part_schema.empty_table()
+        docs_u, inv = np.unique(d[sel], return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs_u),
+                "n_chunks": pa.array(np.zeros(docs_u.size, np.int64)),
+                "n_dup_chunks": pa.array(
+                    np.bincount(inv, weights=occ[sel]).astype(np.int64)
+                ),
+                "dup_chars": pa.array(
+                    np.bincount(inv, weights=chars[sel]).astype(np.int64)
+                ),
+            },
+            schema=part_schema,
+        )
+
+    parts = mid.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    agg = parts.groupby("doc_id").aggregate(
+        Sum("n_chunks", alias_name="n_chunks"),
+        Sum("n_dup_chunks", alias_name="n_dup_chunks"),
+        Sum("dup_chars", alias_name="dup_chars"),
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_chunks", pa.int64()),
+            ("n_dup_chunks", pa.int64()),
+            ("dup_chars", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return out_schema.empty_table()
+        return pa.table(
+            {f.name: pc.cast(t[f.name], f.type) for f in out_schema},
+            schema=out_schema,
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q_CDC_DEDUP_SQL = r"""
+WITH cps AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS cp
+  FROM documents
+), bnd AS (
+  SELECT doc_id, n, cp,
+         list_concat(list_concat(
+           [CAST(0 AS BIGINT)],
+           list_filter(range(8, n), i ->
+               list_reduce(list_prepend(CAST(0 AS HUGEINT), cp[i-7:i]),
+                   (a, x) -> (a * 1099511628211 + x) % 18446744073709551616)
+               % 64 = 0)),
+           [CAST(n AS BIGINT)]) AS b
+  FROM cps WHERE n > 0
+), chunks AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT), cp[b[k]+1 : b[k+1]]),
+             (a, x) -> (a * 1099511628211 + x) % 18446744073709551616) AS h,
+         b[k+1] - b[k] AS clen
+  FROM bnd, UNNEST(range(1, len(b))) AS u(k)
+), freq AS (
+  SELECT h FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_chunks,
+         CAST(SUM(c.clen) AS BIGINT) AS dup_chars
+  FROM chunks c JOIN freq f USING (h) GROUP BY c.doc_id
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+  FROM chunks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_chunks, 0) AS n_chunks,
+       COALESCE(u.n_dup_chunks, 0) AS n_dup_chunks,
+       COALESCE(u.dup_chars, 0) AS dup_chars
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN dup u USING (doc_id)
+"""

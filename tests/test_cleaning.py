@@ -164,3 +164,35 @@ def test_segment_dedup_planted(tmp_path):
     assert list(out["n_segments"]) == [2, 2, 2]
     assert list(out["n_dropped"]) == [1, 1, 0]
     assert list(out["kept_tokens"]) == [19 - 8, 16 - 8, 16]
+
+
+def test_cdc_dedup_insertion_robust(tmp_path):
+    """The CDC property fixed-width segments lack: inserting words near
+    the HEAD of a near-duplicate still leaves the shared tail chunks
+    byte-identical, so the pair is caught as duplicate content."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_cdc_dedup,
+        q_segment_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    words = [f"w{int(x)}" for x in rng.integers(0, 500, size=120)]
+    base = " ".join(words)
+    shifted = "inserted words here " + base   # head insertion
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": shifted},
+        {"doc_id": 2, "text": " ".join(f"z{int(x)}" for x in rng.integers(0, 500, 120))},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    cdc = q_cdc_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+    # docs 0 and 1 share most chunks despite the shift; doc 2 shares none
+    assert cdc.loc[0, "n_dup_chunks"] >= cdc.loc[0, "n_chunks"] * 0.5
+    assert cdc.loc[1, "n_dup_chunks"] >= 1
+    assert cdc.loc[2, "n_dup_chunks"] == 0
+    # contrast: aligned fixed segments find nothing after the shift
+    seg = q_segment_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert seg.loc[0, "n_dropped"] == 0
