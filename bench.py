@@ -149,6 +149,8 @@ def run_bench() -> dict:
         "setsim_prefix_join": dedup.q_setsim_prefix_join,
         "unigram_lm_scores": cleaning.q_unigram_lm_scores,
         "kmeans_clusters": similarity.q_kmeans_clusters,
+        "segment_dedup": cleaning.q_segment_dedup,
+        "cdc_dedup": cleaning.q_cdc_dedup,
     }
     # paired A/B: two interleaved passes over the whole subset in the
     # same session.  The shared host drifts ±25-50% within minutes, so a
