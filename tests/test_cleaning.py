@@ -196,3 +196,26 @@ def test_cdc_dedup_insertion_robust(tmp_path):
     # contrast: aligned fixed segments find nothing after the shift
     seg = q_segment_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
     assert seg.loc[0, "n_dropped"] == 0
+
+
+def test_boilerplate_prefix_edges(tmp_path):
+    """Docs shorter than 8 tokens never form a prefix; count is per
+    occurrence; 9th token may differ (only the first 8 key the group)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_boilerplate_prefixes,
+    )
+
+    head = "a b c d e f g h"
+    rows = [
+        {"doc_id": 0, "text": head + " tail1"},
+        {"doc_id": 1, "text": head + " tail2"},
+        {"doc_id": 2, "text": head},              # exactly 8 tokens: counts
+        {"doc_id": 3, "text": "a b c d e f g"},   # 7 tokens: excluded
+        {"doc_id": 4, "text": "x y z q r s t u solo"},  # unique prefix
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = q_boilerplate_prefixes(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out["prefix"][0] == head and out["n_docs"][0] == 3
