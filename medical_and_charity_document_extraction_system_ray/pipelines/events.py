@@ -1513,3 +1513,79 @@ SELECT event_type,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY 1
 """
+
+
+def q_ewma_user_value(sf_dir: str, span: int = 20) -> ray.data.Dataset:
+    """Exponentially-weighted moving average of ``value`` per user (the
+    time-decayed feature every ranking/feature pipeline computes):
+    weight 2^-d for the event d positions back, truncated at ``span``
+    trailing events — dyadic weights make the weighted sums EXACT
+    int64 arithmetic in both engines (cents x 2^19 x 20 < 2^53 is not
+    even needed: it stays int64), so the single float division is
+    bit-identical to DuckDB's and the result floor-grids cleanly.
+
+    Scale shape: one keyed shuffle; inside each sorted run the trailing
+    window is 20 shifted multiply-adds over the FLAT column with
+    row-boundary masks — no per-user python loop, no quadratic frame."""
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ewma", pa.float64()),
+        ]
+    )
+
+    def ewma(g: pd.DataFrame) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        order = np.lexsort(
+            (g["event_id"].to_numpy(), g["ts"].to_numpy(), u)
+        )
+        uid = u[order]
+        eid = g["event_id"].to_numpy()[order]
+        cents = np.floor(g["value"].to_numpy()[order] * 100 + 0.5).astype(
+            np.int64
+        )
+        n = cents.size
+        num = np.zeros(n, dtype=np.int64)
+        den = np.zeros(n, dtype=np.int64)
+        for d in range(span):
+            w = np.int64(1) << np.int64(span - 1 - d)
+            if d == 0:
+                num += cents * w
+                den += w
+            else:
+                same = uid[d:] == uid[:-d]
+                num[d:][same] += cents[:-d][same] * w
+                den[d:][same] += w
+        val = np.floor(num / (100.0 * den) * 1e6 + 1e-3) / 1e6
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(uid),
+                "ewma": pa.array(val),
+            },
+            schema=out_schema,
+        )
+
+    return ds.groupby("user_id").map_groups(ewma, batch_format="pandas")
+
+
+Q_EWMA_SQL = """
+WITH o AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.event_id, a.user_id,
+       FLOOR(CAST(SUM(b.c * (CAST(1 AS BIGINT) << (19 - (a.rn - b.rn)))) AS DOUBLE)
+             / (100.0 * SUM(CAST(1 AS BIGINT) << (19 - (a.rn - b.rn))))
+             * 1000000 + 0.001) / 1000000 AS ewma
+FROM o a JOIN o b
+  ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+GROUP BY a.event_id, a.user_id
+"""

@@ -175,3 +175,34 @@ def test_event_dedup_window_boundaries(tmp_path):
     )
     out = q_event_dedup_window(root).to_pandas().sort_values("event_id")
     assert list(out["event_id"]) == [0, 1, 4, 5]
+
+
+def test_ewma_dyadic_weights(tmp_path):
+    """EWMA sanity on a hand-computable series: first event equals its
+    own value; second = (2*prev + curr*1)/3 ... with dyadic weights
+    2^-d; users independent."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_ewma_user_value,
+    )
+
+    s = 1_000_000
+    t0 = 1_700_000_000 * s
+    root = _write_events(
+        tmp_path,
+        [t0, t0 + s, t0 + 2 * s, t0],
+        [1, 1, 1, 2],
+        [10.0, 4.0, 7.0, 5.0],
+    )
+    out = (
+        q_ewma_user_value(root)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    import math
+    def grid(x):
+        return math.floor(x * 1e6 + 1e-3) / 1e6
+    assert out["ewma"][0] == grid(10.0)                       # only itself
+    assert out["ewma"][1] == grid((1 * 10 + 2 * 4) / 3)       # current weighs 2x
+    assert out["ewma"][2] == grid((1 * 10 + 2 * 4 + 4 * 7) / 7)
+    assert out["ewma"][3] == grid(5.0)                        # other user
