@@ -892,3 +892,63 @@ SELECT token, df, min_doc, max_doc,
             ELSE hu END AS BIGINT) AS postings_fp
 FROM h
 """
+
+
+def q_corpus_checksum(sf_dir: str) -> pa.Table:
+    """Order-independent corpus checksum (the anti-entropy / replica
+    equality primitive): per row ``rh = fingerprint64(text) *
+    (2*doc_id + 1) mod 2^64`` — the odd id-derived factor binds content
+    to its key NON-linearly (an additive ``fp*P + id`` mix is
+    separable: Σ splits into Σfp + Σid, so swapping two docs' texts
+    would cancel) — then ``checksum = Σ rh mod 2^64`` and a row count.
+    Additive merge means partials combine in any order at any fan-in:
+    the 100 TB shape is one uint64 + one int64 per BLOCK crossing the
+    wire, no shuffle at all.  Bit-identical to the DuckDB hugeint
+    expression (Q_CORPUS_CHECKSUM_SQL)."""
+    from ..functions.text import fingerprint64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = fingerprint64(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            rh = h * (np.uint64(2) * ids + np.uint64(1))
+            s = np.uint64(rh.sum(dtype=np.uint64))
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "sum_i64": pa.array([np.int64(s.view(np.int64))], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one tiny row per input block
+    total = np.uint64(0)
+    n = 0
+    with np.errstate(over="ignore"):
+        for r in parts:
+            total += np.int64(r["sum_i64"]).view(np.uint64)
+            n += int(r["n_rows"])
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "checksum": pa.array([int(np.int64(total.view(np.int64)))], pa.int64()),
+        }
+    )
+
+
+Q_CORPUS_CHECKSUM_SQL = """
+WITH h AS (
+  SELECT (list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             list_transform(range(1, length(text)+1), i -> unicode(text[i]))),
+             (a, x) -> (a * 1099511628211 + x) % 18446744073709551616)
+          * (2 * doc_id + 1)) % 18446744073709551616 AS rh
+  FROM documents
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(CASE WHEN s >= 9223372036854775808 THEN s - 18446744073709551616
+            ELSE s END AS BIGINT) AS checksum
+FROM (SELECT COUNT(*) AS n, SUM(rh) % 18446744073709551616 AS s FROM h)
+"""

@@ -206,3 +206,27 @@ def test_ewma_dyadic_weights(tmp_path):
     assert out["ewma"][1] == grid((1 * 10 + 2 * 4) / 3)       # current weighs 2x
     assert out["ewma"][2] == grid((1 * 10 + 2 * 4 + 4 * 7) / 7)
     assert out["ewma"][3] == grid(5.0)                        # other user
+
+
+def test_corpus_checksum_binding_and_order_independence(tmp_path):
+    """Row order never changes the checksum; SWAPPING two docs' texts
+    (same multiset of texts and ids!) does — content is bound to key."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.text_analysis import (
+        q_corpus_checksum,
+    )
+
+    a = [{"doc_id": 1, "text": "alpha"}, {"doc_id": 2, "text": "beta"}]
+    d1 = tmp_path / "d1"; d2 = tmp_path / "d2"; d3 = tmp_path / "d3"
+    for d in (d1, d2, d3):
+        d.mkdir()
+    pq.write_table(pa.Table.from_pylist(a), str(d1 / "documents.parquet"))
+    pq.write_table(pa.Table.from_pylist(a[::-1]), str(d2 / "documents.parquet"))
+    swapped = [{"doc_id": 1, "text": "beta"}, {"doc_id": 2, "text": "alpha"}]
+    pq.write_table(pa.Table.from_pylist(swapped), str(d3 / "documents.parquet"))
+    c1 = q_corpus_checksum(str(d1)).to_pydict()
+    c2 = q_corpus_checksum(str(d2)).to_pydict()
+    c3 = q_corpus_checksum(str(d3)).to_pydict()
+    assert c1 == c2
+    assert c1["checksum"] != c3["checksum"]
