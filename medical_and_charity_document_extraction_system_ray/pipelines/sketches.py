@@ -589,3 +589,139 @@ WITH tok AS (
 SELECT token, COUNT(*) AS n, TRUE AS one_sided, TRUE AS bounded
 FROM tok WHERE token <> '' GROUP BY token
 """
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: cross-segment audience overlap via inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+def _hll_per_type(sf_dir: str, p: int) -> dict[str, np.ndarray]:
+    """One merged HLL register array per event_type (each is 2^p bytes;
+    at any corpus size only |types| x 2^p bytes reach the driver)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        etypes, regs = [], []
+        for etype, grp in df.groupby("event_type", sort=True):
+            h = _hash_ids(grp["user_id"].to_numpy())
+            etypes.append(etype)
+            regs.append(hll_from_hashes(h, p).tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(etypes, type=pa.string()),
+                "registers": pa.array(regs, type=pa.large_binary()),
+            }
+        )
+
+    out: dict[str, np.ndarray] = {}
+    for row in ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_rows():
+        reg = np.frombuffer(row["registers"], dtype=np.uint8)
+        et = row["event_type"]
+        out[et] = np.maximum(out[et], reg) if et in out else reg
+    return out
+
+
+def q_hll_overlap(sf_dir: str, p: int = HLL_P) -> pa.Table:
+    """Audience-overlap matrix from HLL sketch ALGEBRA: for every pair
+    of event types, |A∩B| ≈ est(A) + est(B) - est(A∪B), where the union
+    sketch is just the elementwise register max — no re-scan per pair,
+    the whole matrix costs |types|² register merges on 2^p-byte arrays.
+    This is the sketch-composition shape audience/reach systems run at
+    10^12 rows (per-pair exact intersections would be a shuffle each).
+    Rows-only; accuracy gated by ``q_hll_overlap_check``."""
+    sk = _hll_per_type(sf_dir, p)
+    types = sorted(sk)
+    ta, tb, ia, ib, iu, ii = [], [], [], [], [], []
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            ea = hll_estimate(sk[a], p)
+            eb = hll_estimate(sk[b], p)
+            eu = hll_estimate(np.maximum(sk[a], sk[b]), p)
+            ta.append(a)
+            tb.append(b)
+            ia.append(round(ea, 2))
+            ib.append(round(eb, 2))
+            iu.append(round(eu, 2))
+            ii.append(round(max(ea + eb - eu, 0.0), 2))
+    return pa.table(
+        {
+            "type_a": pa.array(ta, pa.string()),
+            "type_b": pa.array(tb, pa.string()),
+            "est_a": pa.array(ia, pa.float64()),
+            "est_b": pa.array(ib, pa.float64()),
+            "est_union": pa.array(iu, pa.float64()),
+            "est_overlap": pa.array(ii, pa.float64()),
+        }
+    )
+
+
+def q_hll_overlap_check(
+    sf_dir: str, type_a: str = "click", type_b: str = "view", p: int = HLL_P
+) -> pa.Table:
+    """Value-oracled gate for the sketch algebra: the exact click∩view
+    distinct-user count (recomputed by DuckDB INTERSECT) plus a bound
+    check — the inclusion-exclusion estimate must land within
+    4·1.04/√2^p of exact relative to the audience sizes (union), the
+    standard HLL error budget for a 3-term composition."""
+    ov = q_hll_overlap(sf_dir, p).to_pandas()
+    row = ov[(ov.type_a == type_a) & (ov.type_b == type_b)].iloc[0]
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        m = pc.or_(pc.equal(et, type_a), pc.equal(et, type_b))
+        t2 = t.filter(m)
+        df = t2.to_pandas()
+        g = df.groupby("user_id")["event_type"].agg(
+            a=lambda s: bool((s == type_a).any()),
+            b=lambda s: bool((s == type_b).any()),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g.index.to_numpy(), pa.int64()),
+                "has_a": pa.array(g["a"].to_numpy().astype(np.int64)),
+                "has_b": pa.array(g["b"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    agg = (
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Max("has_a", alias_name="a"), Max("has_b", alias_name="b"))
+    )
+
+    def count_both(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"n": pa.array([], pa.int64())})
+        both = pc.and_(pc.equal(t["a"], 1), pc.equal(t["b"], 1))
+        return pa.table({"n": pa.array([int(pc.sum(pc.cast(both, pa.int64())).as_py() or 0)], pa.int64())})
+
+    exact = sum(r["n"] for r in agg.map_batches(count_both, batch_format="pyarrow").take_all())
+    tol = 4 * 1.04 / np.sqrt(2**p) * max(float(row["est_union"]), 1.0)
+    ok = abs(float(row["est_overlap"]) - exact) <= tol
+    return pa.table(
+        {
+            "type_a": pa.array([type_a], pa.string()),
+            "type_b": pa.array([type_b], pa.string()),
+            "exact_overlap": pa.array([int(exact)], pa.int64()),
+            "within_bound": pa.array([bool(ok)], pa.bool_()),
+        }
+    )
+
+
+Q_HLL_OVERLAP_CHECK_SQL = """
+SELECT 'click' AS type_a, 'view' AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+       TRUE AS within_bound
+FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'view'
+)
+"""

@@ -24,6 +24,7 @@ ROWS_ONLY = {
     "media_features",
     "page_regions",
     "image_phash_neardup",
+    "hll_overlap",
 }
 
 
@@ -38,7 +39,7 @@ def test_oracle_keys_cover_queries():
     for gate in ("approx_distinct_check", "knn_ivf_recall", "knn_pq_recall",
                  "media_features_geometry", "page_regions_check",
                  "heavy_hitters_check", "hll_check", "kmeans_check", "cms_check",
-                 "image_phash_check"):
+                 "image_phash_check", "hll_overlap_check"):
         assert gate in o, f"missing companion gate {gate}"
 
 

@@ -229,3 +229,43 @@ def test_pareto_mask_bruteforce():
             ]
         )
         assert np.array_equal(got, want), (a.tolist(), b.tolist())
+
+
+def test_hll_overlap_algebra(tmp_path):
+    """Planted overlap: 200 click users, 200 view users, 100 shared —
+    inclusion-exclusion over merged registers lands within the gate's
+    error budget, and disjoint segments estimate ~0 overlap."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.sketches import (
+        q_hll_overlap,
+        q_hll_overlap_check,
+    )
+
+    click_users = list(range(0, 200))
+    view_users = list(range(100, 300))       # 100..199 shared
+    scroll_users = list(range(1000, 1100))   # disjoint from both
+    users = click_users + view_users + scroll_users
+    types = ["click"] * 200 + ["view"] * 200 + ["scroll"] * 100
+    n = len(users)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                np.arange(n, dtype=np.int64) + 1_700_000_000_000_000
+            ).view(pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types),
+            "value": pa.array([1.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    ov = q_hll_overlap(str(tmp_path)).to_pandas().set_index(["type_a", "type_b"])
+    est = ov.loc[("click", "view"), "est_overlap"]
+    assert 70 <= est <= 130                     # ~100 ± sketch error
+    assert ov.loc[("click", "scroll"), "est_overlap"] <= 30
+    chk = q_hll_overlap_check(str(tmp_path)).to_pandas()
+    assert int(chk["exact_overlap"][0]) == 100
+    assert bool(chk["within_bound"][0])
