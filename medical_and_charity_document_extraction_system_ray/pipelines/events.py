@@ -1589,3 +1589,75 @@ FROM o a JOIN o b
   ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
 GROUP BY a.event_id, a.user_id
 """
+
+
+def q_sliding_distinct_users(
+    sf_dir: str, window_minutes: int = 60, hop_minutes: int = 15
+) -> ray.data.Dataset:
+    """DISTINCT users per hopping window — the aggregation hop windows
+    can't get from mergeable sums: distinct needs a dedup, and the
+    naive shape (ship every (window, user) occurrence) multiplies the
+    shuffle by window/hop x duplicate visits.
+
+    Scale shape: (1) per-batch local dedup of (window, user) pairs
+    (np.unique over the fanned-out composites) so repeat visits inside
+    a batch never leave it; (2) ONE shuffle keyed on a 64-way coarse
+    window bucket; (3) inside each bucket one lexsort resolves both the
+    cross-batch dedup and the per-window counts via run lengths — no
+    per-window python."""
+    hop_us = hop_minutes * 60 * 1_000_000
+    k = window_minutes // hop_minutes
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        grid = ts_us // hop_us
+        ws = (np.repeat(grid, k) - np.tile(np.arange(k, dtype=np.int64), n)) * hop_us
+        uu = np.repeat(uid, k)
+        pairs = np.unique(np.stack([ws, uu], axis=1), axis=0)
+        return pa.table(
+            {
+                "bucket": pa.array((pairs[:, 0] // hop_us) % 64),
+                "w_us": pa.array(pairs[:, 0]),
+                "user_id": pa.array(pairs[:, 1]),
+            }
+        )
+
+    mid = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema(
+        [("window_start", pa.timestamp("us")), ("n_users", pa.int64())]
+    )
+
+    def resolve(g: "pd.DataFrame") -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        w = g["w_us"].to_numpy()
+        u = g["user_id"].to_numpy()
+        order = np.lexsort((u, w))
+        ws_, us_ = w[order], u[order]
+        first = np.concatenate([[True], (ws_[1:] != ws_[:-1]) | (us_[1:] != us_[:-1])])
+        ws_u = ws_[first]
+        w_starts = np.concatenate([[True], ws_u[1:] != ws_u[:-1]])
+        w_vals = ws_u[w_starts]
+        counts = np.diff(np.concatenate([np.flatnonzero(w_starts), [ws_u.size]]))
+        return pa.table(
+            {
+                "window_start": pa.array(w_vals).view(pa.timestamp("us")),
+                "n_users": pa.array(counts.astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return mid.groupby("bucket").map_groups(resolve, batch_format="pandas")
+
+
+Q_SLIDING_DISTINCT_SQL = """
+SELECT make_timestamp(((CAST(FLOOR(epoch(ts) / 900) AS BIGINT) - k.k) * 900)
+                      * 1000000) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events, (SELECT UNNEST(range(0, 4)) AS k) k
+GROUP BY 1
+"""

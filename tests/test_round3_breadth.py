@@ -230,3 +230,19 @@ def test_corpus_checksum_binding_and_order_independence(tmp_path):
     c3 = q_corpus_checksum(str(d3)).to_pydict()
     assert c1 == c2
     assert c1["checksum"] != c3["checksum"]
+
+
+def test_sliding_distinct_users_dedup(tmp_path):
+    """A user visiting 3x inside one hop contributes ONE to each of the
+    4 windows covering it; two users -> 2."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_sliding_distinct_users,
+    )
+
+    s = 1_000_000
+    t0 = (1_700_000_000 // 900) * 900 * s  # hop-aligned
+    ts = [t0, t0 + s, t0 + 2 * s, t0 + 3 * s]
+    root = _write_events(tmp_path, ts, [1, 1, 1, 2], [0.0] * 4)
+    out = q_sliding_distinct_users(root).to_pandas()
+    assert len(out) == 4                      # 4 hop-windows cover t0
+    assert out["n_users"].tolist() == [2, 2, 2, 2]
