@@ -796,3 +796,211 @@ FROM (SELECT chunk, COUNT(*) AS c FROM spans WHERE is_media GROUP BY chunk)
 WHERE c > 1
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (energy-contour signature over real WAV)
+# ---------------------------------------------------------------------------
+
+def synth_audio_for_doc(text: str, rate: int = 8000) -> bytes:
+    """Deterministic synthetic WAV for a document (the audio analog of
+    the band-codec page renderer): each codepoint contributes 20 ms of
+    a tone whose amplitude/frequency derive from the codepoint, so
+    byte-identical text ⇒ byte-identical clip and near-identical text
+    ⇒ clips differing in a few tone segments."""
+    from ..sources.wavcodec import wav_encode
+
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    if cps.size == 0:
+        cps = np.array([32], dtype=np.uint32)
+    seg = rate // 50  # 20 ms per char
+    n = cps.size * seg
+    t = np.arange(n, dtype=np.float64)
+    freq = 200.0 + (np.repeat(cps, seg) % np.uint32(64)).astype(np.float64) * 40.0
+    amp = 6000.0 + (np.repeat(cps, seg) % np.uint32(17)).astype(np.float64) * 1000.0
+    x = (amp * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+    return wav_encode(x, rate)
+
+
+class AudioFingerprinter:
+    """Actor: doc text -> synth WAV -> decode -> 25/10 ms framing ->
+    64-window energy contour -> 64-bit signature (bit = window RMS
+    above the clip median).  The signature is computed from the DECODED
+    samples through the real codec path, not from the text."""
+
+    def __init__(self):
+        from ..sources.wavcodec import frame_signal, wav_decode
+
+        self._decode = wav_decode
+        self._frame = frame_signal
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        sig = np.zeros(n, np.uint64)
+        ok = np.ones(n, bool)
+        for i, txt in enumerate(texts):
+            try:
+                x, rate = self._decode(synth_audio_for_doc(txt))
+                frame = rate * 25 // 1000
+                hop = rate * 10 // 1000
+                fr = self._frame(np.ascontiguousarray(x), frame, hop)
+                rms = np.sqrt((fr.astype(np.float64) ** 2).mean(axis=1))
+                # 64 equal time bins over the contour
+                bins = np.array_split(rms, 64)
+                means = np.array([b.mean() if b.size else 0.0 for b in bins])
+                bits = (means > np.median(means)).astype(np.uint8)
+                sig[i] = np.uint64(np.packbits(bits).view(">u8")[0])
+            except Exception:
+                ok[i] = False
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": pa.array(sig.view(np.int64)),
+                "success": pa.array(ok),
+            }
+        )
+
+
+def q_audio_fingerprint_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """Near-duplicate AUDIO clips by energy-contour fingerprint: every
+    doc renders to a synthetic WAV (deterministic synth — the container
+    ships no audio corpora), the fingerprint travels the REAL decode →
+    frame → RMS path, and the SimHash band machinery finds all pairs at
+    hamming <= 3 exactly.  Completes the text/image/audio dedup
+    triangle.  Rows-only (a WAV DSP chain is not SQL); gated by
+    ``q_audio_fingerprint_check`` (exact-dup texts must pair at
+    hamming 0; pair count recomputed by DuckDB) plus a perturbation
+    pytest."""
+    from ray.data.aggregate import Min
+
+    from ..sources.readers import read_table
+    from .dedup import _COARSE_BUCKETS, _iter_pair_slabs, _popcount64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    feats = ds.map_batches(
+        # concurrency 2, like the other media actor stages: a pool of 4
+        # would hold every CPU of a 4-CPU test session and starve the
+        # downstream groupby (observed hang)
+        AudioFingerprinter, batch_format="pyarrow", batch_size=128, concurrency=2
+    )
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        t = t.filter(t["success"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sg = t["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = ids.size
+        band_key = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            band_key[b * n : (b + 1) * n] = (
+                ((sg >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+                + (b << 16)
+            )
+        return pa.table(
+            {
+                "band_key": pa.array(band_key),
+                "bucket": pa.array((band_key % _COARSE_BUCKETS).astype(np.int32)),
+                "doc_id": pa.array(np.tile(ids, 4)),
+                "sig": pa.array(np.tile(sg.astype(np.int64), 4)),
+            }
+        )
+
+    bands = feats.map_batches(to_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        keys = g["band_key"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        hs = g["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, keys))
+        k, v, h = keys[order], ids[order], hs[order]
+        starts = np.nonzero(np.concatenate([[True], k[1:] != k[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [k.size]])
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            for ii, jj in _iter_pair_slabs(m):
+                ham = _popcount64(np.bitwise_xor(h[s:e][ii], h[s:e][jj]))
+                keep = ham <= max_hamming
+                out_a.append(v[s:e][ii][keep])
+                out_b.append(v[s:e][jj][keep])
+                out_h.append(ham[keep])
+        if out_a:
+            a = np.concatenate(out_a).astype(np.int64)
+            b = np.concatenate(out_b).astype(np.int64)
+            hm = np.concatenate(out_h).astype(np.int64)
+            keep = a != b
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            a, b, hm = lo[keep], hi[keep], hm[keep]
+        else:
+            a = b = hm = np.empty(0, np.int64)
+        return pa.table(
+            {"doc_a": pa.array(a), "doc_b": pa.array(b), "hamming": pa.array(hm)}
+        )
+
+    cand = bands.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+    )
+
+    def pin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return out_schema.empty_table()
+        return pa.table(
+            {f.name: pa.compute.cast(t[f.name], f.type) for f in out_schema},
+            schema=out_schema,
+        )
+
+    result = uniq.map_batches(pin, batch_format="pyarrow").materialize()
+    if result.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return result
+
+
+def q_audio_fingerprint_check(sf_dir: str) -> pa.Table:
+    """Value-oracled gate: docs with byte-identical text render to
+    byte-identical clips and MUST pair at hamming 0; the exact-dup pair
+    count is recomputed by DuckDB from the raw texts."""
+    import pandas as pd
+
+    from ..sources.readers import read_table
+
+    pairs = q_audio_fingerprint_neardup(sf_dir).to_pandas()
+    zero = (
+        {
+            (a, b)
+            for a, b, h in zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"])
+            if h == 0
+        }
+        if len(pairs)
+        else set()
+    )
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    n_exact = 0
+    found = 0
+    for _, grp in docs.groupby("text"):
+        if len(grp) < 2:
+            continue
+        ids = sorted(grp["doc_id"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                n_exact += 1
+                if (ids[i], ids[j]) in zero:
+                    found += 1
+    return pa.table(
+        {
+            "n_exact_dup_pairs": pa.array([n_exact], pa.int64()),
+            "exact_dups_found": pa.array([found == n_exact], pa.bool_()),
+        }
+    )
+
+
+Q_AUDIO_FP_CHECK_SQL = """
+SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_exact_dup_pairs,
+       TRUE AS exact_dups_found
+FROM (SELECT text, COUNT(*) AS c FROM documents GROUP BY text)
+WHERE c > 1
+"""

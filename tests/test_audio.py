@@ -129,3 +129,39 @@ def test_audio_window_plan_counts(tmp_path):
     assert len(df[df.doc_id == 3]) == 98
     w = df[df.doc_id == 3]
     assert w.start_ms.max() == 970  # last window fits: 970+25 <= 1000
+
+
+def test_audio_fingerprint_perturbation_and_planted(tmp_path):
+    """Signature invariants through the real WAV path: identical text ->
+    identical signature; one changed char -> small hamming; unrelated
+    text -> far.  Pipeline finds the planted exact pair at hamming 0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.multimodal import (
+        AudioFingerprinter,
+        q_audio_fingerprint_check,
+        q_audio_fingerprint_neardup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    pert = base[:-2] + "x "                      # one char changed
+    other = "zzz completely different signal content qqq " * 4
+    fp = AudioFingerprinter()
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array([base, base, pert, other])})
+    out = fp(t)
+    sig = out["sig"].to_pylist()
+    assert sig[0] == sig[1]
+    ham_near = bin(sig[0] ^ sig[2]).count("1")
+    ham_far = bin(sig[0] ^ sig[3]).count("1")
+    assert ham_near <= 6
+    assert ham_far > 10
+
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    pairs = q_audio_fingerprint_neardup(str(tmp_path)).to_pandas()
+    z = set(zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"]))
+    assert (0, 1, 0) in z
+    chk = q_audio_fingerprint_check(str(tmp_path)).to_pandas()
+    assert int(chk["n_exact_dup_pairs"][0]) == 1
+    assert bool(chk["exact_dups_found"][0])

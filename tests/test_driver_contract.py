@@ -25,6 +25,7 @@ ROWS_ONLY = {
     "page_regions",
     "image_phash_neardup",
     "hll_overlap",
+    "audio_fp_neardup",
 }
 
 
@@ -39,7 +40,7 @@ def test_oracle_keys_cover_queries():
     for gate in ("approx_distinct_check", "knn_ivf_recall", "knn_pq_recall",
                  "media_features_geometry", "page_regions_check",
                  "heavy_hitters_check", "hll_check", "kmeans_check", "cms_check",
-                 "image_phash_check", "hll_overlap_check"):
+                 "image_phash_check", "hll_overlap_check", "audio_fp_check"):
         assert gate in o, f"missing companion gate {gate}"
 
 
