@@ -12,7 +12,26 @@ import ray.data
 
 
 def read_documents(path: str, **kwargs) -> ray.data.Dataset:
-    """Read an interleaved-documents table (doc_id, spans)."""
+    """Read an interleaved-documents table (doc_id, spans).
+
+    A ``*.lance`` path (or ``lance://`` URI) routes to
+    ``ray.data.read_lance`` — the north rule's production format — when
+    the ``lance`` bindings are installed (import-gated exactly like the
+    OCR/PDF adapters; this container ships none, so the pytest fakes
+    the module).  Everything else reads parquet: identical Arrow
+    schema, identical column pruning, so downstream stages never see
+    the difference."""
+    lower = path.lower()
+    if lower.endswith(".lance") or lower.startswith("lance://"):
+        try:
+            import lance  # noqa: F401  (read_lance needs the bindings)
+        except ImportError as e:
+            raise RuntimeError(
+                "reading a Lance table requires the 'lance' package "
+                "(pip install pylance); parquet needs no extra bindings"
+            ) from e
+        uri = path[8:] if lower.startswith("lance://") else path
+        return ray.data.read_lance(uri, **kwargs)
     return ray.data.read_parquet(path, **kwargs)
 
 

@@ -230,3 +230,44 @@ def test_live_pymupdf_roundtrip(tmp_path):
     assert info["page_count"] == 1 and info["is_text_based"]
     imgs = a.rasterize(p)
     assert imgs[0].ndim in (2, 3)
+
+
+def test_lance_reader_gated(monkeypatch, tmp_path):
+    """`read_documents` routes *.lance / lance:// to ray.data.read_lance
+    once the (faked) lance bindings import; without them it raises the
+    documented RuntimeError; parquet paths never touch the gate."""
+    import sys
+    import types
+
+    import ray.data as rd
+
+    from medical_and_charity_document_extraction_system_ray.sources.readers import (
+        read_documents,
+    )
+
+    calls = {}
+
+    def fake_read_lance(uri, **kw):
+        calls["uri"] = uri
+        return "SENTINEL"
+
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance)
+    assert read_documents("/data/docs.lance") == "SENTINEL"
+    assert calls["uri"] == "/data/docs.lance"
+    assert read_documents("lance://bucket/tbl.x") == "SENTINEL"
+    assert calls["uri"] == "bucket/tbl.x"
+
+    monkeypatch.delitem(sys.modules, "lance")
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_lance(name, *a, **k):
+        if name == "lance":
+            raise ImportError("no lance")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_lance)
+    with pytest.raises(RuntimeError, match="pylance"):
+        read_documents("/data/docs.lance")
