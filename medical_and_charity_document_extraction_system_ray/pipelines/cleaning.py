@@ -720,7 +720,9 @@ def q_cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
         idx = np.arange(nf, dtype=np.int64)
         with np.errstate(over="ignore"):
             hwin = np.zeros(nf, dtype=np.uint64)
-            for j in range(_CDC_W):
+            # j capped at nf: a batch of only sub-window docs would
+            # otherwise slice cps[:negative] (hypothesis-found edge)
+            for j in range(min(_CDC_W, nf)):
                 hwin[j:] += cps[: nf - j] * wpow[j] if j else cps * wpow[0]
         valid = np.zeros(nf, dtype=bool)
         if nf >= _CDC_W:
