@@ -1889,3 +1889,157 @@ WHERE NOT EXISTS (
 )
 ORDER BY a.p_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE shape): per-column null + exact distinct counts
+# ---------------------------------------------------------------------------
+
+def q_profile_orders(sf_dir: str) -> ray.data.Dataset:
+    """Per-column data profile of ``orders`` — row count, nulls, EXACT
+    distinct count for every column (the ANALYZE/stats-collection pass
+    every engine runs before planning).
+
+    Scale shape: one pass emits, per batch, (a) tiny per-column
+    null/row partials and (b) locally-distinct (column, value-hash)
+    pairs — so the single shuffle carries one row per distinct value
+    per batch per column, never raw values (timestamps/doubles are
+    hashed onto int64 via their exact bit patterns; count-distinct on
+    hashes equals count-distinct on values absent a 64-bit collision).
+    A coarse 64-bucket groupby then counts distinct hashes per column
+    vectorized, and the driver merges |columns| small rows."""
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    ds = read_table(sf_dir, "orders", columns=cols)
+
+    from ..functions.text import stable_hash64
+
+    def _col_hash(arr: pa.ChunkedArray) -> np.ndarray:
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        t = a.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return stable_hash64(a)
+        if pa.types.is_timestamp(t):
+            return pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        if pa.types.is_floating(t):
+            return a.to_numpy(zero_copy_only=False).view(np.uint64)
+        return a.to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    mid_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("column", pa.string()),
+            ("vhash", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("n_nulls", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            arr = t[c]
+            nulls = int(arr.null_count)
+            valid = arr.combine_chunks().drop_null() if nulls else arr
+            h = np.unique(_col_hash(valid))
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+                        "column": pa.array([c] * h.size, pa.string()),
+                        "vhash": pa.array(h.view(np.int64)),
+                        "n_rows": pa.array(np.zeros(h.size, np.int64)),
+                        "n_nulls": pa.array(np.zeros(h.size, np.int64)),
+                    },
+                    schema=mid_schema,
+                )
+            )
+            # stats row rides under bucket -1 (one per column per batch)
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": pa.array([-1], pa.int64()),
+                        "column": pa.array([c], pa.string()),
+                        "vhash": pa.array([0], pa.int64()),
+                        "n_rows": pa.array([t.num_rows], pa.int64()),
+                        "n_nulls": pa.array([nulls], pa.int64()),
+                    },
+                    schema=mid_schema,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    mid = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    part_schema = pa.schema(
+        [
+            ("column", pa.string()),
+            ("n_rows", pa.int64()),
+            ("n_nulls", pa.int64()),
+            ("n_distinct", pa.int64()),
+        ]
+    )
+
+    def resolve(g: "pd.DataFrame") -> pa.Table:
+        if len(g) == 0:
+            return part_schema.empty_table()
+        if int(g["bucket"].iloc[0]) == -1:
+            agg = g.groupby("column", sort=True).agg(
+                n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum")
+            )
+            return pa.table(
+                {
+                    "column": pa.array(agg.index.to_numpy(), pa.string()),
+                    "n_rows": pa.array(agg["n_rows"].to_numpy().astype(np.int64)),
+                    "n_nulls": pa.array(agg["n_nulls"].to_numpy().astype(np.int64)),
+                    "n_distinct": pa.array(np.zeros(len(agg), np.int64)),
+                },
+                schema=part_schema,
+            )
+        # distinct hashes per column within this bucket
+        u = g[["column", "vhash"]].drop_duplicates().groupby("column").size()
+        return pa.table(
+            {
+                "column": pa.array(u.index.to_numpy(), pa.string()),
+                "n_rows": pa.array(np.zeros(len(u), np.int64)),
+                "n_nulls": pa.array(np.zeros(len(u), np.int64)),
+                "n_distinct": pa.array(u.to_numpy().astype(np.int64)),
+            },
+            schema=part_schema,
+        )
+
+    parts = mid.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    agg = parts.groupby("column").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_nulls", alias_name="n_nulls"),
+        Sum("n_distinct", alias_name="n_distinct"),
+    )
+    from .dedup import _with_schema
+
+    return agg.map_batches(
+        _with_schema(part_schema), batch_format="pyarrow"
+    )
+
+
+Q_PROFILE_ORDERS_SQL = """
+SELECT 'o_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate) FROM orders
+UNION ALL
+SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+       COUNT(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice) FROM orders
+"""

@@ -246,3 +246,42 @@ def test_sliding_distinct_users_dedup(tmp_path):
     out = q_sliding_distinct_users(root).to_pandas()
     assert len(out) == 4                      # 4 hop-windows cover t0
     assert out["n_users"].tolist() == [2, 2, 2, 2]
+
+
+def test_profile_orders_nulls_and_distinct(tmp_path):
+    """Profiling counts nulls and exact distincts per column, hashing
+    doubles/timestamps by bit pattern (distinct-preserving)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.relational import (
+        q_profile_orders,
+    )
+
+    import numpy as np
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([7, 7, None, 9], pa.int64()),
+            "o_orderstatus": pa.array(["O", "F", "O", None]),
+            "o_totalprice": pa.array([1.5, 1.5, 2.5, 2.5], pa.float64()),
+            "o_orderdate": pa.array(
+                np.array([0, 0, 86400, 86400], np.int64) * 1_000_000
+            ).view(pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    out = (
+        q_profile_orders(str(tmp_path))
+        .to_pandas()
+        .set_index("column")
+    )
+    assert (out["n_rows"] == 4).all()
+    assert out.loc["o_custkey", "n_nulls"] == 1
+    assert out.loc["o_custkey", "n_distinct"] == 2
+    assert out.loc["o_orderstatus", "n_nulls"] == 1
+    assert out.loc["o_orderstatus", "n_distinct"] == 2
+    assert out.loc["o_totalprice", "n_distinct"] == 2
+    assert out.loc["o_orderdate", "n_distinct"] == 2
+    assert out.loc["o_orderpriority", "n_distinct"] == 1
+    assert out.loc["o_orderkey", "n_distinct"] == 4
