@@ -2043,3 +2043,85 @@ UNION ALL
 SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
        COUNT(DISTINCT o_totalprice) FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# Upsert / MERGE (CDC latest-wins by version key)
+# ---------------------------------------------------------------------------
+
+def q_upsert_latest(sf_dir: str) -> ray.data.Dataset:
+    """MERGE INTO semantics (the lakehouse CDC apply): a deltas stream
+    upserts onto the base table, latest version wins per key.  The
+    deltas are derived deterministically from the corpus (no external
+    data): every ``doc_id % 7 == 0`` doc gets a v1 update with
+    ``' v2'`` appended, and one brand-new row per source batch appears
+    under ``doc_id + 10_000_000``.
+
+    Scale shape: base ∪ deltas stream through ONE groupby(doc_id)
+    whose aggregate is a plain MAX over ``version << 32 | n_chars`` —
+    latest-wins folds into an ordinary mergeable aggregate instead of a
+    per-key argmax sort, so the shuffle is one int64 per key per batch
+    after per-batch partial max."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_chars = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        upd = ids % 7 == 0
+        out_ids = [ids, ids[upd], ids[upd] + 10_000_000]
+        out_ver = [
+            np.zeros(ids.size, np.int64),
+            np.ones(int(upd.sum()), np.int64),
+            np.zeros(int(upd.sum()), np.int64),
+        ]
+        out_nch = [n_chars, n_chars[upd] + 3, n_chars[upd]]  # ' v2' appended
+        i = np.concatenate(out_ids)
+        v = np.concatenate(out_ver)
+        c = np.concatenate(out_nch)
+        enc = (v << np.int64(32)) | c
+        part = pa.table({"doc_id": pa.array(i), "enc": pa.array(enc)})
+        return part.group_by("doc_id").aggregate([("enc", "max")])
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Max("enc_max", alias_name="enc"))
+    )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("version", pa.int64()), ("n_chars", pa.int64())]
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return out_schema.empty_table()
+        enc = t["enc"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "version": pa.array(enc >> np.int64(32)),
+                "n_chars": pa.array(enc & np.int64(0xFFFFFFFF)),
+            },
+            schema=out_schema,
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+Q_UPSERT_SQL = """
+WITH all_rows AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS version,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, length(text) + 3 FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, 0, length(text) FROM documents WHERE doc_id % 7 = 0
+), enc AS (
+  SELECT doc_id, MAX(version * 4294967296 + n_chars) AS e
+  FROM all_rows GROUP BY doc_id
+)
+SELECT doc_id, CAST(e // 4294967296 AS BIGINT) AS version,
+       CAST(e % 4294967296 AS BIGINT) AS n_chars
+FROM enc
+"""

@@ -285,3 +285,28 @@ def test_profile_orders_nulls_and_distinct(tmp_path):
     assert out.loc["o_orderdate", "n_distinct"] == 2
     assert out.loc["o_orderpriority", "n_distinct"] == 1
     assert out.loc["o_orderkey", "n_distinct"] == 4
+
+
+def test_upsert_latest_wins(tmp_path):
+    """doc_id % 7 == 0 rows surface at version 1 with +3 chars; others
+    stay v0; new rows appear under +10M ids at v0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.relational import (
+        q_upsert_latest,
+    )
+
+    rows = [
+        {"doc_id": 7, "text": "abcd"},     # updated
+        {"doc_id": 8, "text": "xy"},       # untouched
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = (
+        q_upsert_latest(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [7, 8, 10_000_007]
+    assert out["version"].tolist() == [1, 0, 0]
+    assert out["n_chars"].tolist() == [7, 2, 4]
