@@ -2125,3 +2125,55 @@ SELECT doc_id, CAST(e // 4294967296 AS BIGINT) AS version,
        CAST(e % 4294967296 AS BIGINT) AS n_chars
 FROM enc
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys — multi-dimensional data clustering
+# ---------------------------------------------------------------------------
+
+def q_zorder_keys(sf_dir: str) -> ray.data.Dataset:
+    """Z-order/Morton layout key per order — the multi-dimensional
+    clustering key lakehouse OPTIMIZE/Z-ORDER writes sort by so range
+    filters on EITHER customer or date prune row groups: 16 bits of
+    ``o_custkey`` interleaved with 16 bits of the epoch-day.
+
+    Pure per-batch bit math (16 shift-or steps over the whole column,
+    no shuffle at all — the sort that would consume this key is the
+    writer's existing global sort); bit-identical to the DuckDB
+    list_transform expression."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()), ("zkey", pa.int64())])
+
+    def zorder(t: pa.Table) -> pa.Table:
+        x = (
+            t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            & 0xFFFF
+        )
+        day = (
+            pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        ) & 0xFFFF
+        z = np.zeros(x.size, np.int64)
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((day >> i) & 1) << (2 * i + 1)
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "zkey": pa.array(z)},
+            schema=out_schema,
+        )
+
+    return ds.map_batches(zorder, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_ZORDER_SQL = """
+SELECT o_orderkey,
+       CAST(list_sum(list_transform(range(0, 16), i ->
+           ((o_custkey % 65536) // (CAST(1 AS BIGINT) << i) % 2)
+               * (CAST(1 AS BIGINT) << (2 * i))
+           + (((CAST(epoch(o_orderdate) AS BIGINT) // 86400) % 65536)
+               // (CAST(1 AS BIGINT) << i) % 2)
+               * (CAST(1 AS BIGINT) << (2 * i + 1))
+       )) AS BIGINT) AS zkey
+FROM orders
+"""

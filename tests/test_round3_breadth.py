@@ -310,3 +310,34 @@ def test_upsert_latest_wins(tmp_path):
     assert out["doc_id"].tolist() == [7, 8, 10_000_007]
     assert out["version"].tolist() == [1, 0, 0]
     assert out["n_chars"].tolist() == [7, 2, 4]
+
+
+def test_zorder_interleave_locality(tmp_path):
+    """Bit-interleave sanity: custkey occupies even bits, day odd bits;
+    nearby (cust, day) points get nearby z-keys (prefix locality)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.relational import (
+        q_zorder_keys,
+    )
+
+    day_us = 86_400_000_000
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([0, 1, 2], pa.int64()),
+            "o_custkey": pa.array([0b101, 0, 0xFFFF], pa.int64()),
+            "o_orderdate": pa.array(
+                np.array([0, 0b11, 0xFFFF], np.int64) * day_us
+            ).view(pa.timestamp("us")),
+            "o_orderstatus": pa.array(["O"] * 3),
+            "o_totalprice": pa.array([1.0] * 3),
+            "o_orderpriority": pa.array(["1-URGENT"] * 3),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    out = q_zorder_keys(str(tmp_path)).to_pandas().sort_values("o_orderkey")
+    z = out["zkey"].tolist()
+    assert z[0] == 0b10001          # x bits at even positions: 101 -> 1_0_0_0_1
+    assert z[1] == 0b1010           # y bits at odd positions: 11 -> 1010
+    assert z[2] == (1 << 32) - 1    # all 32 bits set
