@@ -1004,3 +1004,63 @@ SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_exact_dup_pairs,
 FROM (SELECT text, COUNT(*) AS c FROM documents GROUP BY text)
 WHERE c > 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Video scene-change detection (frame-delta thresholding)
+# ---------------------------------------------------------------------------
+
+def q_scene_changes(sf_dir: str, threshold: int = 64) -> ray.data.Dataset:
+    """Scene-change detection over each document's modeled video: one
+    luma sample per frame (deterministic synth from the doc's
+    codepoints — frame DECODE stays the documented multimodal stub, the
+    per-frame metadata convention of ``q_frame_sample_plan``), a cut
+    wherever the frame-to-frame luma delta reaches ``threshold``.
+
+    The detection math — flat frame stream, one vectorized diff with
+    row-boundary masks, no per-video python — is the real scale
+    surface; at 100 TB the same map runs on decoded luma instead of
+    synth.  Emits (doc_id, frame_idx) per cut; value-oracled (the synth
+    and the delta rule are exact integer math in SQL)."""
+    from ..functions.text import utf8_codepoints
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("frame_idx", pa.int64())])
+
+    def detect(t: pa.Table) -> pa.Table:
+        cps, rows = utf8_codepoints(t["text"].combine_chunks())
+        doc_np = t["doc_id"].to_numpy(zero_copy_only=False)
+        nf = cps.size
+        if nf == 0:
+            return out_schema.empty_table()
+        n_per = np.bincount(rows, minlength=t.num_rows).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(n_per)[:-1]])
+        pos = np.arange(nf, dtype=np.int64) - starts[rows]
+        luma = (cps.astype(np.int64) * 37 + pos) % 256
+        cut = np.zeros(nf, dtype=bool)
+        cut[1:] = (np.abs(np.diff(luma)) >= threshold) & (rows[1:] == rows[:-1])
+        idx = np.flatnonzero(cut)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_np[rows[idx]].astype(np.int64)),
+                "frame_idx": pa.array(pos[idx]),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(detect, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_SCENE_CHANGES_SQL = """
+WITH cps AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(1, length(text)+1),
+                        i -> (unicode(text[i]) * 37 + (i - 1)) % 256) AS luma
+  FROM documents
+)
+SELECT doc_id, CAST(UNNEST(list_filter(range(1, n),
+                    k -> abs(luma[k+1] - luma[k]) >= 64)) AS BIGINT) AS frame_idx
+FROM cps WHERE n > 1
+"""

@@ -952,3 +952,76 @@ SELECT CAST(n AS BIGINT) AS n_rows,
             ELSE s END AS BIGINT) AS checksum
 FROM (SELECT COUNT(*) AS n, SUM(rh) % 18446744073709551616 AS s FROM h)
 """
+
+
+def q_lang_agreement_kappa(sf_dir: str) -> pa.Table:
+    """Cohen's kappa between the DECLARED ``lang`` column and the
+    heuristic language-ID prediction — the annotation-agreement metric
+    every labeling pipeline reports (chance-corrected, unlike raw
+    accuracy).  The contingency matrix is built with per-batch partials
+    + one tiny keyed groupby (|langs|² rows); kappa itself is one float
+    expression over exact integer counts, so the DuckDB oracle (which
+    re-derives the prediction from the same CASE cascade) is
+    bit-identical on the 1e-6 grid."""
+    from ray.data.aggregate import Sum as _Sum
+
+    preds = q_lang_id(sf_dir, concurrency=2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"lang": t["lang"], "pred_lang": t["pred_lang"]})
+            .group_by(["lang", "pred_lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "pred_lang", "c"])
+        )
+
+    cells = (
+        preds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(_Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    n = int(cells["c"].sum())
+    agree = int(cells.loc[cells["lang"] == cells["pred_lang"], "c"].sum())
+    row = cells.groupby("lang")["c"].sum()
+    col = cells.groupby("pred_lang")["c"].sum()
+    cross = int(sum(int(row[l]) * int(col.get(l, 0)) for l in row.index))
+    po = agree / n
+    pe = cross / (n * n)
+    kappa = (po - pe) / (1 - pe) if pe < 1.0 else 1.0
+    g = lambda x: np.floor(x * 1e6 + 1e-3) / 1e6
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "agreement": pa.array([g(po)], pa.float64()),
+            "kappa": pa.array([g(kappa)], pa.float64()),
+        }
+    )
+
+
+# reuse the lang-id CASE cascade; only the final SELECT differs
+Q_LANG_KAPPA_SQL = (
+    "WITH pred AS (" + Q_LANG_ID_SQL + """),
+cells AS (
+  SELECT lang, pred_lang, COUNT(*) AS c FROM pred GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN lang = pred_lang THEN c END), 0) AS BIGINT)
+           AS agree
+  FROM cells
+), marg AS (
+  SELECT CAST(COALESCE(SUM(r.rc * co.cc), 0) AS BIGINT) AS crossv
+  FROM (SELECT lang, SUM(c) AS rc FROM cells GROUP BY lang) r
+  JOIN (SELECT pred_lang, SUM(c) AS cc FROM cells GROUP BY pred_lang) co
+    ON r.lang = co.pred_lang
+)
+SELECT t.n AS n_docs,
+       FLOOR(CAST(t.agree AS DOUBLE) / t.n * 1000000 + 0.001) / 1000000
+         AS agreement,
+       FLOOR((CAST(t.agree AS DOUBLE) / t.n
+              - CAST(m.crossv AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n))
+             / (1 - CAST(m.crossv AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n))
+             * 1000000 + 0.001) / 1000000 AS kappa
+FROM tot t, marg m
+"""
+)
