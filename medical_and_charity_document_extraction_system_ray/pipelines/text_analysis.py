@@ -1025,3 +1025,56 @@ SELECT t.n AS n_docs,
 FROM tot t, marg m
 """
 )
+
+
+# GPT-2-style pretokenizer, RE2-compatible subset (no lookaheads): both
+# Arrow and DuckDB run RE2, so match counts agree by construction
+_BPE_PRETOKEN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def q_bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc token counts under a BPE-ish pretokenizer (the GPT-2
+    split regex, RE2-subset) alongside the whitespace count — the
+    budget number every training-data pipeline reports.  One vectorized
+    RE2 count per batch, no shuffle; per-language totals ride a tiny
+    groupby."""
+    from ..functions.text import token_count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("ws_tokens", pa.int64()),
+            ("bpe_tokens", pa.int64()),
+        ]
+    )
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "ws_tokens": pc.cast(token_count(t["text"]), pa.int64()),
+                "bpe_tokens": pc.cast(
+                    pc.count_substring_regex(t["text"], _BPE_PRETOKEN),
+                    pa.int64(),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_BPE_TOKENS_SQL = r"""
+SELECT doc_id, lang,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
+         AS BIGINT) AS bpe_tokens
+FROM documents
+"""

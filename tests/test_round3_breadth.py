@@ -341,3 +341,29 @@ def test_zorder_interleave_locality(tmp_path):
     assert z[0] == 0b10001          # x bits at even positions: 101 -> 1_0_0_0_1
     assert z[1] == 0b1010           # y bits at odd positions: 11 -> 1010
     assert z[2] == (1 << 32) - 1    # all 32 bits set
+
+
+def test_bpe_pretokenizer_semantics(tmp_path):
+    """GPT-2-ish split: contractions split off, leading-space words are
+    one token, punctuation runs group, whitespace runs count once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.text_analysis import (
+        q_bpe_token_counts,
+    )
+
+    rows = [
+        # "it's  fine!!" -> ["it", "'s", "  " (ws run? no: ' fine' takes one space...)]
+        {"doc_id": 0, "lang": "en", "text": "it's done, ok 42"},
+        {"doc_id": 1, "lang": "en", "text": ""},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = (
+        q_bpe_token_counts(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # "it" "'s" " done" "," " ok" " 42" = 6
+    assert out.loc[0, "bpe_tokens"] == 6
+    assert out.loc[0, "ws_tokens"] == 4
+    assert out.loc[1, "bpe_tokens"] == 0 and out.loc[1, "ws_tokens"] == 0
