@@ -725,3 +725,59 @@ FROM (
   SELECT user_id FROM events WHERE event_type = 'view'
 )
 """
+
+
+def q_salted_distinct_users(sf_dir: str, salts: int = 16) -> ray.data.Dataset:
+    """COUNT(DISTINCT user_id) per event_type via HOT-KEY SALTING — the
+    exact-result skew treatment the two-level pair shuffle can't give
+    you when ONE key owns most of the corpus: the shuffle key is
+    ``(event_type, splitmix64(user_id) % salts)``, so a hot type's
+    distinct-resolution work spreads over ``salts`` reducers instead of
+    one.  Correctness is unconditional: a given user always lands in
+    the same salt shard, shards are disjoint, so per-shard distinct
+    counts SUM to the per-type distinct count.  Stage 1 also dedups
+    (type, user) locally per batch, so repeat visits never leave their
+    batch.  Same SQL oracle as the unsalted variant — the salted plan
+    must be indistinguishable by value."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def local(t: pa.Table) -> pa.Table:
+        d = t.group_by(["event_type", "user_id"]).aggregate([])
+        uid = d["user_id"].to_numpy(zero_copy_only=False)
+        salt = (_hash_ids(uid) % np.uint64(salts)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": d["event_type"],
+                "salt": pa.array(salt),
+                "user_id": d["user_id"],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    shard = (
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "salt", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby(["event_type", "salt"])
+        .aggregate(Count(alias_name="n_shard"))
+    )
+    agg = shard.groupby("event_type").aggregate(
+        Sum("n_shard", alias_name="n_users")
+    )
+
+    out_schema = pa.schema([("event_type", pa.string()), ("n_users", pa.int64())])
+
+    def pin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return out_schema.empty_table()
+        return pa.table(
+            {"event_type": t["event_type"],
+             "n_users": pc.cast(t["n_users"], pa.int64())},
+            schema=out_schema,
+        )
+
+    return agg.map_batches(pin, batch_format="pyarrow")
+
+
+Q_SALTED_DISTINCT_SQL = Q_DISTINCT_USERS_SQL

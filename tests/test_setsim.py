@@ -269,3 +269,42 @@ def test_hll_overlap_algebra(tmp_path):
     chk = q_hll_overlap_check(str(tmp_path)).to_pandas()
     assert int(chk["exact_overlap"][0]) == 100
     assert bool(chk["within_bound"][0])
+
+
+def test_salted_distinct_hot_key(tmp_path):
+    """A planted hot key (90% of events one type) still counts exactly:
+    per-shard distincts sum to the true distinct, repeat visits and
+    cross-shard users all handled."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.sketches import (
+        q_salted_distinct_users,
+    )
+
+    rng = np.random.default_rng(2)
+    n = 9000
+    users = rng.integers(0, 700, n)          # ~700 distinct, many repeats
+    types = np.where(np.arange(n) % 10 < 9, "hot", "cold")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                np.arange(n, dtype=np.int64) + 1_700_000_000_000_000
+            ).view(pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types.tolist()),
+            "value": pa.array([1.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = (
+        q_salted_distinct_users(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")["n_users"]
+    )
+    hot_truth = len(set(users[np.arange(n) % 10 < 9].tolist()))
+    cold_truth = len(set(users[np.arange(n) % 10 >= 9].tolist()))
+    assert out["hot"] == hot_truth
+    assert out["cold"] == cold_truth
