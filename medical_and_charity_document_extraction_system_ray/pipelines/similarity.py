@@ -808,3 +808,97 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_points, 8 AS k_nonempty,
        TRUE AS inertia_monotone
 FROM embeddings
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed embedding covariance (whitening / PCA prep) — exact
+# ---------------------------------------------------------------------------
+
+def q_embedding_covariance(sf_dir: str) -> pa.Table:
+    """Population covariance matrix of the embedding columns (the
+    whitening/PCA-prep pass), emitted long-format ``(i, j<=i? no —
+    i<=j, cov)``.  Exactness across engines: each float32 component is
+    snapped to the 1e-6 integer grid, per-batch cross-moment partials
+    are ONE int64 matmul ``Cᵀ·C`` per batch (order-independent,
+    overflow-safe: |c|<=2^20, so Σ over 10^12 rows still fits hugeint
+    on the SQL side and per-partial int64 here), and the two float
+    divisions + grid floor happen once per cell — bit-identical to the
+    DuckDB expression.
+
+    Scale shape: the mergeable-matrix-sketch pattern — each batch ships
+    ONE (d², d, 1)-sized partial (d=64 → 33 KB) regardless of batch
+    rows; the driver folds ~num_blocks partials.  No shuffle."""
+    from ..functions.vectors import list_column_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = list_column_matrix(t["embedding"])
+        c = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        cc = c.T @ c                       # exact int64 cross-moments
+        return pa.table(
+            {
+                "n": pa.array([c.shape[0]], pa.int64()),
+                "colsum": pa.array([c.sum(axis=0).tobytes()], pa.large_binary()),
+                "cross": pa.array([cc.tobytes()], pa.large_binary()),
+                "dim": pa.array([c.shape[1]], pa.int64()),
+            }
+        )
+
+    n_total = 0
+    dim = 0
+    colsum = None
+    cross = None
+    for row in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_rows():
+        d = int(row["dim"])
+        cs = np.frombuffer(row["colsum"], dtype=np.int64)
+        cr = np.frombuffer(row["cross"], dtype=np.int64).reshape(d, d)
+        if colsum is None:
+            dim, colsum, cross = d, cs.copy(), cr.copy()
+        else:
+            colsum += cs
+            cross += cr
+        n_total += int(row["n"])
+    iu, ju = np.triu_indices(dim)
+    n = float(n_total)
+    cov = (
+        cross[iu, ju].astype(np.float64) / n
+        - (colsum[iu].astype(np.float64) / n) * (colsum[ju].astype(np.float64) / n)
+    ) / 1e12
+    cov = np.floor(cov * 1e6 + 1e-3) / 1e6
+    return pa.table(
+        {
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "cov": pa.array(cov),
+        }
+    )
+
+
+Q_EMB_COV_SQL = """
+WITH x AS (
+  SELECT vec_id, (u).i AS i, (u).c AS c FROM (
+    SELECT vec_id,
+           UNNEST(list_transform(range(1, len(embedding)+1),
+               k -> struct_pack(i := k - 1,
+                    c := CAST(FLOOR(CAST(embedding[k] AS DOUBLE) * 1000000 + 0.5)
+                              AS BIGINT)))) AS u
+    FROM embeddings
+  )
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+s AS (SELECT i, SUM(c) AS si FROM x GROUP BY i),
+cc AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.c * b.c) AS scc
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT cc.i, cc.j,
+       FLOOR((CAST(scc AS DOUBLE) / nn.n
+              - (CAST(sa.si AS DOUBLE) / nn.n) * (CAST(sb.si AS DOUBLE) / nn.n))
+             / 1000000000000 * 1000000 + 0.001) / 1000000 AS cov
+FROM cc, nn
+JOIN s sa ON sa.i = cc.i
+JOIN s sb ON sb.i = cc.j
+"""
