@@ -219,3 +219,46 @@ def test_boilerplate_prefix_edges(tmp_path):
     out = q_boilerplate_prefixes(str(tmp_path)).to_pandas()
     assert len(out) == 1
     assert out["prefix"][0] == head and out["n_docs"][0] == 3
+
+
+def test_cdc_unicode_sql_parity(tmp_path):
+    """CDC chunking parity vs DuckDB on NON-ASCII text (multibyte UTF-8
+    incl. CJK and astral-plane emoji) — the sf corpora are ASCII-only,
+    so this is the one place the codepoint decode path is cross-checked
+    against SQL on 2-4 byte sequences."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        Q_CDC_DEDUP_SQL,
+        q_cdc_dedup,
+    )
+
+    texts = [
+        "héllo wörld ünïcode text càfé niño — ascii mix 1234 " * 3,
+        "日本語のテキストです。これはテストです。" * 4,
+        "emoji 😀😁😂🤣 astral plane 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 mixed ascii tail " * 3,
+        "héllo wörld ünïcode text càfé niño — ascii mix 1234 " * 3,  # dup of 0
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = (
+        q_cdc_dedup(str(tmp_path)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.execute(Q_CDC_DEDUP_SQL).df()
+        .sort_values("doc_id").reset_index(drop=True)
+        .astype({"n_chunks": "int64", "n_dup_chunks": "int64",
+                 "dup_chars": "int64"})
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    assert got.loc[0, "n_dup_chunks"] >= 1      # the planted dup pair
