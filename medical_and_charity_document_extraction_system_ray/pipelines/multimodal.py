@@ -752,7 +752,6 @@ def q_image_phash_check(sf_dir: str) -> pa.Table:
     derived span chunks (media_ref is a pure function of the chunk), so
     a pHash/banding regression that loses exact dups fails the
     hash-match."""
-    import pandas as pd
 
     pairs = q_image_phash_neardup(sf_dir).to_pandas()
     spans = _media_spans(sf_dir).to_pandas()
@@ -964,7 +963,6 @@ def q_audio_fingerprint_check(sf_dir: str) -> pa.Table:
     """Value-oracled gate: docs with byte-identical text render to
     byte-identical clips and MUST pair at hamming 0; the exact-dup pair
     count is recomputed by DuckDB from the raw texts."""
-    import pandas as pd
 
     from ..sources.readers import read_table
 
