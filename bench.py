@@ -5,12 +5,14 @@ interleaved fixture corpus (FIXTURES.md §1 generator, cached under
 /tmp).  Also times a representative subset of the operator suite over
 ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (≤2000 chars — the driver's tail window):
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...per-query min-of-2-passes sec...},
-   "queries_passes": {...both interleaved A/B passes...},
-   "scaling": {...latest --scaling campaign, from SCALING.json...},
+   "scaling": {...best --scaling campaign summary...},
+   "vs_prev": {...regression/faster/new vs last recorded round...},
    "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+The full result (queries_passes, campaign history) is written to
+BENCH_DETAIL.json alongside.
 
 ``--scaling`` runs the headline job twice in fresh processes at
 num_cpus=8 and num_cpus=32 (override via GRAFT_SCALE_LO/HI) on the
@@ -189,30 +191,39 @@ def run_bench() -> dict:
                 result["scaling"] = json.load(f)
         except ValueError:
             pass
-    # per-query regression call vs the previous round's recorded bench:
+    # per-query regression call vs the newest prior round whose record
+    # still carries per-query times (r03's line overflowed the driver's
+    # tail capture, so its parsed block is null — fall back through):
     # the host swings ±25-50% between runs, so only a >1.5x slowdown of
     # the paired-A/B minimum is called a regression
-    prev_path = os.path.join(REPO, "BENCH_r02.json")
-    if os.path.exists(prev_path):
+    for rn in ("r03", "r02", "r01"):
+        prev_path = os.path.join(REPO, f"BENCH_{rn}.json")
+        if not os.path.exists(prev_path):
+            continue
         try:
             with open(prev_path) as f:
                 raw = json.load(f)
             # the driver wraps the bench line under "parsed"
-            prev = (raw.get("queries") or raw.get("parsed", {}).get("queries")) or {}
-            calls = {}
-            for name, now in qtimes.items():
-                if name not in prev or not prev[name]:
-                    calls[name] = "new"
-                    continue
-                ratio = now / prev[name]
-                calls[name] = (
-                    "regression" if ratio > 1.5
-                    else "faster" if ratio < 0.67
-                    else "no-regression"
-                )
-            result["vs_r02"] = calls
+            prev = (raw.get("queries")
+                    or (raw.get("parsed") or {}).get("queries")) or {}
         except ValueError:
-            pass
+            continue
+        if not prev:
+            continue
+        calls = {}
+        for name, now in qtimes.items():
+            if name not in prev or not prev[name]:
+                calls[name] = "new"
+                continue
+            ratio = now / prev[name]
+            calls[name] = (
+                "regression" if ratio > 1.5
+                else "faster" if ratio < 0.67
+                else "no-regression"
+            )
+        result["vs_prev"] = calls
+        result["vs_prev_baseline"] = rn
+        break
     return result
 
 
@@ -412,10 +423,60 @@ def run_scaling() -> dict:
     return merged
 
 
+def _compact(full: dict) -> dict:
+    """The driver records only the last ~2000 chars of stdout; r3's
+    bench line overflowed it (embedded scaling campaigns) and the round
+    lost its per-query record (BENCH_r03.json parsed: null).  The FINAL
+    printed line is therefore a compact summary; the full result
+    (queries_passes, campaign history) goes to BENCH_DETAIL.json."""
+    out = {
+        k: full[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf",
+            "num_cpus", "docs", "docs_per_sec",
+        )
+        if k in full
+    }
+    sc = full.get("scaling")
+    if sc:
+        out["scaling"] = {
+            k: sc[k]
+            for k in (
+                "raw_eff", "cpu_ceiling", "workload_ceiling",
+                "pipeline_vs_workload_ceiling",
+            )
+            if k in sc
+        }
+        for k in sc:
+            if k.startswith(("docs_per_sec_", "sec_")):
+                out["scaling"][k] = sc[k]
+    if "vs_prev" in full:
+        vp = full["vs_prev"]
+        out["vs_prev"] = {
+            "baseline": full.get("vs_prev_baseline"),
+            "regression": sorted(k for k, v in vp.items() if v == "regression"),
+            "faster": sorted(k for k, v in vp.items() if v == "faster"),
+            "new": sorted(k for k, v in vp.items() if v == "new"),
+            "no_regression_count": sum(v == "no-regression" for v in vp.values()),
+        }
+    line = json.dumps(out)
+    if len(line) > 1900:  # last-resort trim, keep the line parseable
+        out.pop("vs_prev", None)
+        if len(json.dumps(out)) > 1900:
+            out.pop("scaling", None)
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        merged = run_scaling()
+        # full campaign history lives in SCALING.json; print the
+        # best-campaign summary as one compact line
+        print(json.dumps({k: v for k, v in merged.items() if k != "campaigns"}))
     elif "--reference" in sys.argv:
         print(json.dumps(run_reference_baseline()))
     else:
-        print(json.dumps(run_bench()))
+        full = run_bench()
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(full, f, indent=1)
+        print(json.dumps(_compact(full)))

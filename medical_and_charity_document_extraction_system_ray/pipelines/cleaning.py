@@ -181,36 +181,38 @@ def q_unigram_lm_scores(sf_dir: str) -> ray.data.Dataset:
         tok_arr, lp = ray.get(vocab_ref)
         t = t.combine_chunks()
         toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], " "), r"\s+")
-        # raw list lengths keep the segment offsets aligned with `flat`
-        # (an empty-trimmed text splits to [""], a 1-element list); such
-        # docs are dropped from the OUTPUT but their dummy segment stays
-        # in the offset arithmetic
-        n_raw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        empty = pc.equal(
-            pc.utf8_length(pc.utf8_trim(t["text"], " ")), 0
-        ).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(toks)
-        # "" (the empty-doc dummy token) is not in the vocab -> null idx;
-        # fill with 0 — those positions sit in dropped segments
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # drop "" tokens (edge \t/\n produce them, since the trim only
+        # strips ' ' while the split is \s+) — mirroring count_partial,
+        # so the vocab and the scored stream agree with the SQL's
+        # `WHERE token <> ''`
+        good = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(good))
+        parent = parent[good]
+        nrows = t.num_rows
+        n_tok = np.bincount(parent, minlength=nrows).astype(np.int64)
         idx = pc.fill_null(
             pc.index_in(flat, value_set=tok_arr), 0
         ).to_numpy(zero_copy_only=False)
         tok_lp = lp[idx.astype(np.int64)]
-        offsets = np.concatenate(([0], np.cumsum(n_raw)[:-1]))
-        keep = (~empty) & (n_raw > 0)
-        sums = np.zeros(len(n_raw), dtype=np.float64)
-        nonzero = n_raw > 0
-        if nonzero.any() and len(tok_lp):
-            sums[nonzero] = np.add.reduceat(tok_lp, offsets[nonzero])
+        # the filtered stream stays row-grouped in order, so offsets are
+        # just the cumulative per-row counts
+        offsets = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+        keep = n_tok > 0
+        sums = np.zeros(nrows, dtype=np.float64)
+        if keep.any() and len(tok_lp):
+            sums[keep] = np.add.reduceat(tok_lp, offsets[keep])
         doc_id = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
-        n = n_raw
-        avg = sums[keep] / n[keep]
+        avg = sums[keep] / n_tok[keep]
         # floor on the 1e-6 grid; scores are negative, so floor toward
         # -inf matches SQL FLOOR exactly (both IEEE floor)
         return pa.table(
             {
                 "doc_id": doc_id,
-                "n_tokens": n[keep],
+                "n_tokens": n_tok[keep],
                 "avg_logp": floor6(avg),
             }
         )
@@ -219,9 +221,11 @@ def q_unigram_lm_scores(sf_dir: str) -> ray.data.Dataset:
 
 
 Q_UNIGRAM_LM_SQL = r"""
-WITH tok AS (
+WITH tok_raw AS (
   SELECT doc_id, UNNEST(regexp_split_to_array(trim(text, ' '), '\s+')) AS token
   FROM documents WHERE length(trim(text, ' ')) > 0
+), tok AS (
+  SELECT doc_id, token FROM tok_raw WHERE token <> ''
 ), cnt AS (
   SELECT token, COUNT(*) AS c FROM tok GROUP BY token
 ), tot AS (
@@ -742,10 +746,11 @@ def q_cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
             lens = ends_all - starts_all
             cid = np.searchsorted(starts_all, idx, side="right") - 1
             e = ends_all[cid] - 1 - idx
-            ppow = np.ones(int(lens.max()), dtype=np.uint64)
-            for k in range(1, ppow.size):
-                ppow[k] = ppow[k - 1] * _CDC_P
             with np.errstate(over="ignore"):
+                # ppow wraps mod 2^64 by design (Horner hash)
+                ppow = np.ones(int(lens.max()), dtype=np.uint64)
+                for k in range(1, ppow.size):
+                    ppow[k] = ppow[k - 1] * _CDC_P
                 ch = np.add.reduceat(cps * ppow[e], starts_all, dtype=np.uint64)
             cdoc = doc_np[rows[starts_all]]
             # collapse to (hash, doc) occurrence counts + char sums

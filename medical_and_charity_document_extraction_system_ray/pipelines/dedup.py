@@ -1702,6 +1702,7 @@ def q_setsim_prefix_join(
                     "gram": pa.array([], pa.int64()),
                     "bucket": pa.array([], pa.int32()),
                     "doc_id": pa.array([], pa.int64()),
+                    "set_size": pa.array([], pa.int64()),
                 }
             )
         sizes = t["set_size"].to_numpy(zero_copy_only=False)

@@ -745,37 +745,123 @@ def q_image_phash_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset
     return result
 
 
+def _pair_intersection_count(
+    expected: "ray.data.Dataset", reported: "ray.data.Dataset"
+) -> tuple:
+    """(|expected|, |expected ∩ reported|) over (pair_a, pair_b) int64
+    pair datasets, computed distributed: tag each side, one
+    groupby(pair) count, per-batch partials of ``count == 2`` — a pair
+    appears at most once per side, so a 2-count means both sides have
+    it.  Nothing but (a, b, tag) rows ever move; no driver pull."""
+    from ray.data.aggregate import Count, Sum
+
+    def tag(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array(np.full(t.num_rows, v, np.int64)))
+
+        return f
+
+    both = expected.map_batches(tag(0), batch_format="pyarrow").union(
+        reported.map_batches(tag(1), batch_format="pyarrow")
+    )
+    counts = both.groupby(["pair_a", "pair_b"]).aggregate(
+        Count(alias_name="n_sides"), Sum("side", alias_name="side_sum")
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_sides" not in t.column_names:
+            return pa.table({"exp": pa.array([0], pa.int64()),
+                             "hit": pa.array([0], pa.int64())})
+        ns = t["n_sides"].to_numpy(zero_copy_only=False)
+        ss = t["side_sum"].to_numpy(zero_copy_only=False)
+        # expected rows are every group containing a side-0 row
+        exp = int(np.count_nonzero(ss < ns))
+        hit = int(np.count_nonzero(ns == 2))
+        return pa.table({"exp": pa.array([exp], pa.int64()),
+                         "hit": pa.array([hit], pa.int64())})
+
+    agg = counts.map_batches(partial, batch_format="pyarrow").sum(["exp", "hit"])
+    if not agg:  # no dup pairs and nothing reported
+        return 0, 0
+    return int(agg["sum(exp)"]), int(agg["sum(hit)"])
+
+
+def _emit_group_pairs(id_np) -> pa.Table:
+    ids = np.sort(id_np.astype(np.int64))
+    m = ids.size
+    if m < 2:
+        return pa.schema(
+            [("pair_a", pa.int64()), ("pair_b", pa.int64())]
+        ).empty_table()
+    ii, jj = np.triu_indices(m, k=1)
+    return pa.table({"pair_a": pa.array(ids[ii]), "pair_b": pa.array(ids[jj])})
+
+
 def q_image_phash_check(sf_dir: str) -> pa.Table:
     """Value-oracled accuracy gate for the pHash near-dup: media spans
-    with byte-identical payloads MUST surface as hamming-0 pairs.  The
-    exact-duplicate pair count is recomputed by the SQL oracle from the
-    derived span chunks (media_ref is a pure function of the chunk), so
-    a pHash/banding regression that loses exact dups fails the
-    hash-match."""
+    with byte-identical payloads MUST surface as **hamming-0** pairs.
+    The exact-duplicate pair count is recomputed by the SQL oracle from
+    the derived span chunks (media_ref is a pure function of the
+    chunk), so a pHash/banding regression that loses exact dups fails
+    the hash-match.
 
-    pairs = q_image_phash_neardup(sf_dir).to_pandas()
-    spans = _media_spans(sf_dir).to_pandas()
-    dup = spans.groupby("media_ref").size()
-    n_exact = int(sum(c * (c - 1) // 2 for c in dup[dup > 1]))
-    # every exact-dup pair must be reported with hamming == 0
-    by_ref = spans.groupby("media_ref")
-    found = 0
-    zero = {
-        (ra, oa, rb, ob)
-        for ra, oa, rb, ob in zip(
-            pairs["doc_a"], pairs["off_a"], pairs["doc_b"], pairs["off_b"]
+    Fully distributed: expected pairs come from a
+    ``groupby(media_ref)`` pair-emit (output-sized, the same volume as
+    the dup pairs themselves), reported hamming-0 pairs are re-keyed to
+    span ids, and the intersection is one tagged groupby + count
+    partials — no full-table ``to_pandas`` on the driver."""
+    import pyarrow.compute as pc
+
+    spans = _media_spans(sf_dir)
+
+    def with_span_id(t: pa.Table) -> pa.Table:
+        docnum = pc.cast(
+            pc.utf8_slice_codeunits(t["doc_id"], 4, 32), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        off = t["offset"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "media_ref": t["media_ref"],
+                "span_id": pa.array((docnum << _SPAN_OFF_BITS) | off),
+            }
         )
-    } if len(pairs) else set()
-    for _, grp in by_ref:
-        if len(grp) < 2:
-            continue
-        g = grp.sort_values(["doc_id", "offset"]).reset_index(drop=True)
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                ka = (g["doc_id"][i], g["offset"][i], g["doc_id"][j], g["offset"][j])
-                kb = (g["doc_id"][j], g["offset"][j], g["doc_id"][i], g["offset"][i])
-                if ka in zero or kb in zero:
-                    found += 1
+
+    expected = (
+        spans.map_batches(with_span_id, batch_format="pyarrow")
+        .groupby("media_ref")
+        .map_groups(
+            lambda g: _emit_group_pairs(
+                g["span_id"].to_numpy(zero_copy_only=False)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    zero_schema = pa.schema([("pair_a", pa.int64()), ("pair_b", pa.int64())])
+
+    def rekey_zero(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "hamming" not in t.column_names:
+            return zero_schema.empty_table()
+        t = t.filter(pc.equal(t["hamming"], 0))
+        da = pc.cast(
+            pc.utf8_slice_codeunits(t["doc_a"], 4, 32), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        db = pc.cast(
+            pc.utf8_slice_codeunits(t["doc_b"], 4, 32), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        a = (da << _SPAN_OFF_BITS) | t["off_a"].to_numpy(zero_copy_only=False)
+        b = (db << _SPAN_OFF_BITS) | t["off_b"].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"pair_a": pa.array(lo.astype(np.int64)),
+             "pair_b": pa.array(hi.astype(np.int64))},
+            schema=zero_schema,
+        )
+
+    reported = q_image_phash_neardup(sf_dir).map_batches(
+        rekey_zero, batch_format="pyarrow"
+    )
+    n_exact, found = _pair_intersection_count(expected, reported)
     return pa.table(
         {
             "n_exact_dup_pairs": pa.array([n_exact], pa.int64()),
@@ -962,32 +1048,39 @@ def q_audio_fingerprint_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.D
 def q_audio_fingerprint_check(sf_dir: str) -> pa.Table:
     """Value-oracled gate: docs with byte-identical text render to
     byte-identical clips and MUST pair at hamming 0; the exact-dup pair
-    count is recomputed by DuckDB from the raw texts."""
+    count is recomputed by DuckDB from the raw texts.
+
+    Distributed like ``q_image_phash_check``: one ``groupby(text)``
+    pair-emit for the expected side (one shuffle keyed on text, the
+    dedup_exact shape), the reported hamming-0 pairs re-keyed, and a
+    tagged-groupby intersection count — no driver ``to_pandas``."""
+    import pyarrow.compute as pc
 
     from ..sources.readers import read_table
 
-    pairs = q_audio_fingerprint_neardup(sf_dir).to_pandas()
-    zero = (
-        {
-            (a, b)
-            for a, b, h in zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"])
-            if h == 0
-        }
-        if len(pairs)
-        else set()
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    expected = docs.groupby("text").map_groups(
+        lambda g: _emit_group_pairs(g["doc_id"].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow",
     )
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
-    n_exact = 0
-    found = 0
-    for _, grp in docs.groupby("text"):
-        if len(grp) < 2:
-            continue
-        ids = sorted(grp["doc_id"])
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                n_exact += 1
-                if (ids[i], ids[j]) in zero:
-                    found += 1
+
+    zero_schema = pa.schema([("pair_a", pa.int64()), ("pair_b", pa.int64())])
+
+    def rekey_zero(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "hamming" not in t.column_names:
+            return zero_schema.empty_table()
+        t = t.filter(pc.equal(t["hamming"], 0))
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"pair_a": pa.array(lo), "pair_b": pa.array(hi)}, schema=zero_schema
+        )
+
+    reported = q_audio_fingerprint_neardup(sf_dir).map_batches(
+        rekey_zero, batch_format="pyarrow"
+    )
+    n_exact, found = _pair_intersection_count(expected, reported)
     return pa.table(
         {
             "n_exact_dup_pairs": pa.array([n_exact], pa.int64()),
