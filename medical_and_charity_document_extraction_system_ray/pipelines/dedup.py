@@ -855,15 +855,22 @@ def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 def q_embedding_neardup(
     sf_dir: str, threshold: float = 0.4, block_rows: int = 4096
 ) -> ray.data.Dataset:
-    """All pairs with cosine >= threshold — exact block-pair sweep.
+    """All pairs with cosine >= threshold — exact block-pair sweep with
+    a centroid-cone prune.
 
     The dataset is materialized into object-store blocks of
     ``block_rows`` vectors; the DRIVER holds only the block *refs*, and
     a task per block pair (i<=j) fetches its two blocks zero-copy from
-    the object store and matmuls them.  O(B^2) tasks of bounded memory —
-    the exact shape (an all-pairs threshold this loose is inherently
-    quadratic; for high thresholds use q_embedding_neardup_lsh, which
-    prunes).  SQL oracle: the equivalent self-join."""
+    the object store and matmuls them.  Before enumerating pairs, one
+    tiny task per block computes its angular cone (normalized centroid
+    direction + max angle r to it); a block pair is skipped when the
+    EXACT bound ``cos(max(0, θ_centroids - r_i - r_j)) < threshold``
+    proves no pair can reach the threshold — a bound, not a heuristic,
+    so the result set is unchanged.  On clustered real data this cuts
+    most of the O(B^2) pairs; worst case (one isotropic cloud) it
+    degrades to the full sweep, which is inherent for an all-pairs
+    threshold this loose — q_embedding_neardup_lsh is the
+    high-threshold path.  SQL oracle: the equivalent self-join."""
     import ray
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -874,8 +881,31 @@ def q_embedding_neardup(
         ref for bundle in mat.iter_internal_ref_bundles() for ref in bundle.block_refs
     ]
     nb = len(block_refs)
+
+    @ray.remote
+    def _cone(ref) -> tuple:
+        _, m = _batch_matrix(ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+        c = m.sum(axis=0)
+        nrm = np.linalg.norm(c)
+        if nrm < 1e-12:  # degenerate: vectors cancel -> no useful cone
+            return np.zeros(m.shape[1]), np.pi
+        c /= nrm
+        r = float(np.arccos(np.clip(m @ c, -1.0, 1.0)).max())
+        return c, r
+
+    cones = ray.get([_cone.remote(ref) for ref in block_refs])
+    cents = np.stack([c for c, _ in cones])
+    radii = np.array([r for _, r in cones])
+    # pairwise exact upper bound on any cross-block cosine
+    theta = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
+    gap = np.maximum(theta - radii[:, None] - radii[None, :], 0.0)
+    # -1e-9: keep boundary pairs despite float round-off (bound stays safe)
+    feasible = np.cos(gap) >= threshold - 1e-9
     pair_items = [
-        {"i": i, "j": j} for i in range(nb) for j in range(i, nb)
+        {"i": i, "j": j}
+        for i in range(nb)
+        for j in range(i, nb)
+        if feasible[i, j]
     ]
     pair_ds = ray.data.from_items(pair_items)
 
@@ -1595,7 +1625,13 @@ def q_dup_canonical(sf_dir: str) -> ray.data.Dataset:
             schema=out_schema,
         )
 
-    return j.groupby("cluster_rep").map_groups(decide, batch_format="pyarrow")
+    from ..functions.segments import bucket_grouped
+
+    # decide() is segment-safe; bucket the shuffle so the call count is
+    # bounded by buckets, not by cluster count
+    return bucket_grouped(j, "cluster_rep").map_groups(
+        decide, batch_format="pyarrow"
+    )
 
 
 Q_DUP_CANONICAL_SQL = (

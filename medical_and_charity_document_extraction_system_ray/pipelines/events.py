@@ -16,6 +16,12 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..functions.segments import (
+    bucket_grouped,
+    run_positions,
+    run_searchsorted,
+    runs,
+)
 from ..sources.readers import read_table
 from .relational import _cents
 
@@ -74,37 +80,61 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     previous event exceeds ``gap_minutes``): per-user session count,
     event count, and max session length.
 
-    Partition by ``user_id`` (groupby shuffle), sort by ``ts`` inside
-    the group, run the gap logic vectorized in pandas.
+    Coarse-bucket shuffle (``hash(user) % 64``), ONE lexsort per bucket
+    group, then the gap/session logic runs flat over the sorted columns
+    with run-boundary masks — no per-user python call (the
+    ``q_sliding_distinct_users`` pattern; ``map_groups`` invokes its
+    UDF once per group, so keying the shuffle on the raw user_id costs
+    #users python calls at 10^8-user scale).
     """
+    gap_us = gap_minutes * 60 * 1_000_000
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pa.Table:
-        uids, n_sess, n_ev, max_ev = [], [], [], []
-        for uid, grp in g.groupby("user_id", sort=True):
-            ts = grp["ts"].sort_values().to_numpy()
-            if len(ts) == 0:
-                continue
-            # exact microsecond comparison (SQL INTERVAL is exact too;
-            # truncating to seconds would misclassify e.g. a 1800.5 s gap)
-            gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-            new_session = gaps_us > gap_minutes * 60 * 1_000_000
-            session_id = np.concatenate([[0], np.cumsum(new_session)])
-            uids.append(uid)
-            n_sess.append(int(session_id[-1]) + 1)
-            n_ev.append(len(ts))
-            max_ev.append(int(np.bincount(session_id).max()))
-        # explicit Arrow schema: empty groups emit the same schema
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_sessions", pa.int64()),
+            ("n_events", pa.int64()),
+            ("max_session_events", pa.int64()),
+        ]
+    )
+
+    def sessions(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        starts, lengths, run_of = runs(u)
+        n = u.size
+        # exact microsecond comparison (SQL INTERVAL is exact too;
+        # truncating to seconds would misclassify e.g. a 1800.5 s gap)
+        sess_start = np.zeros(n, dtype=bool)
+        sess_start[starts] = True
+        sess_start[1:] |= (ts[1:] - ts[:-1] > gap_us) & (u[1:] == u[:-1])
+        sess_idx = np.flatnonzero(sess_start)
+        sess_len = np.diff(np.concatenate([sess_idx, [n]]))
+        # sessions are contiguous per user: the r-th user's sessions
+        # start at position sess_off[r] in the session arrays
+        sess_off = np.searchsorted(sess_idx, starts)
+        n_sess = np.add.reduceat(sess_start.astype(np.int64), starts)
+        max_ev = np.maximum.reduceat(sess_len, sess_off)
         return pa.table(
             {
-                "user_id": pa.array(uids, type=pa.int64()),
-                "n_sessions": pa.array(n_sess, type=pa.int64()),
-                "n_events": pa.array(n_ev, type=pa.int64()),
-                "max_session_events": pa.array(max_ev, type=pa.int64()),
-            }
+                "user_id": pa.array(u[starts]),
+                "n_sessions": pa.array(n_sess),
+                "n_events": pa.array(lengths),
+                "max_session_events": pa.array(max_ev),
+            },
+            schema=out_schema,
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return bucket_grouped(ds, "user_id").map_groups(
+        sessions, batch_format="pyarrow"
+    )
 
 
 Q_SESSIONIZE_SQL = """
@@ -132,9 +162,10 @@ FROM per_session GROUP BY user_id
 def q_asof_view_before_click(sf_dir: str) -> ray.data.Dataset:
     """As-of join: for every 'click', the most recent strictly-prior
     'view' by the same user (custom operator — Ray Data has no asof
-    join; composed as groupby(user) + pd.merge_asof per group, the
-    bucketed-sort pattern from the ray guide).  Partitioning
-    assumption: all events of a user fit one group.  Input assumption
+    join; composed as coarse-bucket shuffle + one lexsort + a
+    run-restricted searchsorted pick, flat over the bucket group).
+    Partitioning assumption: all events of a user fit one bucket
+    group.  Input assumption
     shared with Q_ASOF_SQL: view timestamps are unique per user —
     with duplicates, DuckDB's ASOF tie choice is unspecified while
     merge_asof picks the last sorted row, so view_value could diverge
@@ -156,39 +187,50 @@ def q_asof_view_before_click(sf_dir: str) -> ray.data.Dataset:
         ]
     )
 
-    def asof(g: pd.DataFrame) -> pa.Table:
-        outs = []
-        for uid, grp in g.groupby("user_id", sort=True):
-            clicks = (
-                grp[grp.event_type == "click"][["ts"]]
-                .sort_values("ts")
-                .rename(columns={"ts": "click_ts"})
-            )
-            views = (
-                grp[grp.event_type == "view"][["ts", "value"]]
-                .sort_values("ts")
-                .rename(columns={"ts": "view_ts", "value": "view_value"})
-            )
-            if clicks.empty or views.empty:
-                continue
-            m = pd.merge_asof(
-                clicks,
-                views,
-                left_on="click_ts",
-                right_on="view_ts",
-                direction="backward",
-                allow_exact_matches=False,
-            ).dropna(subset=["view_ts"])
-            m.insert(0, "user_id", uid)
-            outs.append(m)
-        if not outs:
+    def asof(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return asof_schema.empty_table()
-        return pa.Table.from_pandas(
-            pd.concat(outs, ignore_index=True), schema=asof_schema,
-            preserve_index=False,
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        is_click = pc.equal(g["event_type"], "click").to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((ts, u))
+        u, ts, is_click = u[order], ts[order], is_click[order]
+        val = g["value"].to_numpy(zero_copy_only=False)[order]
+        # views: flat (user, ts)-sorted subsequence; one run per user
+        vu, vts, vval = u[~is_click], ts[~is_click], val[~is_click]
+        cu, cts = u[is_click], ts[is_click]
+        if vu.size == 0 or cu.size == 0:
+            return asof_schema.empty_table()
+        vstarts, vlengths, _ = runs(vu)
+        v_users = vu[vstarts]
+        # each click's view-run (users with no views → invalid run)
+        r = np.searchsorted(v_users, cu)
+        has_views = (r < v_users.size) & (v_users[np.minimum(r, v_users.size - 1)] == cu)
+        r_ok = r[has_views]
+        # strictly-prior view: first vts >= cts, minus one
+        idx = (
+            run_searchsorted(
+                vts, cts[has_views], vstarts, vlengths, r_ok, side="left"
+            )
+            - 1
+        )
+        valid = idx >= vstarts[r_ok]
+        keep_c = np.flatnonzero(has_views)[valid]
+        idx = idx[valid]
+        return pa.table(
+            {
+                "user_id": pa.array(cu[keep_c]),
+                "click_ts": pa.array(cts[keep_c]).cast(pa.timestamp("us")),
+                "view_ts": pa.array(vts[idx]).cast(pa.timestamp("us")),
+                "view_value": pa.array(vval[idx], type=pa.float64()),
+            },
+            schema=asof_schema,
         )
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return bucket_grouped(ds, "user_id").map_groups(asof, batch_format="pyarrow")
 
 
 Q_ASOF_SQL = """
@@ -217,38 +259,43 @@ def q_running_user_value(sf_dir: str) -> ray.data.Dataset:
 
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for uid, grp in g.groupby("user_id", sort=True):
-            # event_id = deterministic tie-break for duplicate ts (the
-            # SQL window orders the same way, so per-row running sums
-            # stay comparable even with ts collisions)
-            grp = grp.sort_values(["ts", "event_id"])
-            cum = grp["value_c"].cumsum() / 100.0
-            out.append(
-                pd.DataFrame(
-                    {
-                        "user_id": uid,
-                        "ts": grp["ts"].to_numpy(),
-                        "running_value": cum.to_numpy(),
-                    }
-                )
-            )
-        running_schema = pa.schema(
-            [
-                ("user_id", pa.int64()),
-                ("ts", pa.timestamp("us")),
-                ("running_value", pa.float64()),
-            ]
-        )
-        if not out:
+    running_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("running_value", pa.float64()),
+        ]
+    )
+
+    def running(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return running_schema.empty_table()
-        return pa.Table.from_pandas(
-            pd.concat(out, ignore_index=True), schema=running_schema,
-            preserve_index=False,
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        # event_id = deterministic tie-break for duplicate ts (the SQL
+        # window orders the same way, so per-row running sums stay
+        # comparable even with ts collisions)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        cents = g["value_c"].to_numpy(zero_copy_only=False)[order]
+        starts, _, run_of = runs(u)
+        cs = np.cumsum(cents)
+        # subtract everything before the user's run start
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+                "running_value": pa.array((cs - base[run_of]) / 100.0),
+            },
+            schema=running_schema,
         )
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return bucket_grouped(ds, "user_id").map_groups(
+        running, batch_format="pyarrow"
+    )
 
 
 Q_RUNNING_SQL = """
@@ -275,24 +322,30 @@ def q_user_event_ranks(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         ]
     )
 
-    def ranks(g: pd.DataFrame) -> pa.Table:
-        outs = []
-        for uid, grp in g.groupby("user_id", sort=True):
-            top = grp.sort_values(
-                ["value", "event_id"], ascending=[False, True]
-            ).head(k)
-            top = top.assign(rnk=np.arange(1, len(top) + 1))
-            outs.append(top)
-        if not outs:
+    def ranks(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return rank_schema.empty_table()
-        return pa.Table.from_pandas(
-            pd.concat(outs, ignore_index=True)[
-                ["user_id", "event_id", "value", "rnk"]
-            ],
-            schema=rank_schema, preserve_index=False,
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        v = g["value"].to_numpy(zero_copy_only=False)
+        # value DESC via exact float negation, event_id ASC tie-break
+        order = np.lexsort((eid, -v, u))
+        u, eid, v = u[order], eid[order], v[order]
+        starts, _, run_of = runs(u)
+        rnk = run_positions(starts, run_of) + 1
+        keep = rnk <= k
+        return pa.table(
+            {
+                "user_id": pa.array(u[keep]),
+                "event_id": pa.array(eid[keep]),
+                "value": pa.array(v[keep], type=pa.float64()),
+                "rnk": pa.array(rnk[keep]),
+            },
+            schema=rank_schema,
         )
 
-    return ds.groupby("user_id").map_groups(ranks, batch_format="pandas")
+    return bucket_grouped(ds, "user_id").map_groups(ranks, batch_format="pyarrow")
 
 
 Q_RANKS_SQL = """
@@ -390,33 +443,35 @@ def q_rolling_user_value(sf_dir: str, window_minutes: int = 60) -> ray.data.Data
         ]
     )
 
-    def rolling(g: pd.DataFrame) -> pa.Table:
-        eids, uids, sums, counts = [], [], [], []
-        for uid, grp in g.groupby("user_id", sort=True):
-            order = np.lexsort((grp["event_id"].to_numpy(), grp["ts"].to_numpy()))
-            ts = grp["ts"].to_numpy()[order].astype("datetime64[us]").astype(np.int64)
-            eid = grp["event_id"].to_numpy()[order]
-            cents = np.floor(grp["value"].to_numpy()[order] * 100 + 0.5).astype(np.int64)
-            csum = np.concatenate([[0], np.cumsum(cents)])
-            lo = np.searchsorted(ts, ts - win_us, side="left")
-            hi = np.searchsorted(ts, ts, side="right")  # include ts peers
-            eids.append(eid)
-            uids.append(np.full(eid.size, uid, dtype=np.int64))
-            sums.append((csum[hi] - csum[lo]) / 100.0)
-            counts.append(hi - lo)
-        if not eids:
+    def rolling(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return out_schema.empty_table()
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        cents = np.floor(
+            g["value"].to_numpy(zero_copy_only=False)[order] * 100 + 0.5
+        ).astype(np.int64)
+        starts, lengths, run_of = runs(u)
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        lo = run_searchsorted(ts, ts - win_us, starts, lengths, run_of, "left")
+        hi = run_searchsorted(ts, ts, starts, lengths, run_of, "right")  # ts peers
         return pa.table(
             {
-                "event_id": pa.array(np.concatenate(eids), type=pa.int64()),
-                "user_id": pa.array(np.concatenate(uids)),
-                "rolling_value": pa.array(np.concatenate(sums)),
-                "n_window": pa.array(np.concatenate(counts), type=pa.int64()),
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(u),
+                "rolling_value": pa.array((csum[hi] - csum[lo]) / 100.0),
+                "n_window": pa.array((hi - lo).astype(np.int64)),
             },
             schema=out_schema,
         )
 
-    return ds.groupby("user_id").map_groups(rolling, batch_format="pandas")
+    return bucket_grouped(ds, "user_id").map_groups(
+        rolling, batch_format="pyarrow"
+    )
 
 
 Q_ROLLING_SQL = """
@@ -444,34 +499,31 @@ def q_event_gaps(sf_dir: str) -> ray.data.Dataset:
         ]
     )
 
-    def gaps(g: pd.DataFrame) -> pa.Table:
-        eids, uids, gps = [], [], []
-        for uid, grp in g.groupby("user_id", sort=True):
-            order = np.lexsort((grp["event_id"].to_numpy(), grp["ts"].to_numpy()))
-            ts = grp["ts"].to_numpy()[order].astype("datetime64[us]").astype(np.int64)
-            eid = grp["event_id"].to_numpy()[order]
-            gap = np.empty(ts.size, dtype=np.float64)
-            gap[0] = np.nan  # NULL for the first event
-            gap[1:] = np.diff(ts)
-            eids.append(eid)
-            uids.append(np.full(eid.size, uid, dtype=np.int64))
-            gps.append(gap)
-        if not eids:
+    def gaps(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return out_schema.empty_table()
-        g_all = np.concatenate(gps)
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        starts, _, _ = runs(u)
+        gap = np.empty(ts.size, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        first = np.zeros(ts.size, dtype=bool)
+        first[starts] = True  # NULL for each user's first event
         return pa.table(
             {
-                "event_id": pa.array(np.concatenate(eids), type=pa.int64()),
-                "user_id": pa.array(np.concatenate(uids)),
-                "gap_us": pa.array(
-                    np.where(np.isnan(g_all), 0, g_all).astype(np.int64),
-                    mask=np.isnan(g_all),
-                ),
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(u),
+                "gap_us": pa.array(gap, mask=first),
             },
             schema=out_schema,
         )
 
-    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+    return bucket_grouped(ds, "user_id").map_groups(gaps, batch_format="pyarrow")
 
 
 Q_EVENT_GAPS_SQL = """
@@ -503,34 +555,35 @@ def q_event_dedup_window(sf_dir: str, window_s: int = 60) -> ray.data.Dataset:
     )
     win_us = np.int64(window_s * 1_000_000)
 
-    def dedup(g: pd.DataFrame) -> pa.Table:
-        eids, uids, types = [], [], []
-        for (uid, etype), grp in g.groupby(["user_id", "event_type"], sort=True):
-            order = np.lexsort((grp["event_id"].to_numpy(), grp["ts"].to_numpy()))
-            ts = grp["ts"].to_numpy()[order].astype("datetime64[us]").astype(np.int64)
-            eid = grp["event_id"].to_numpy()[order]
-            keep = np.empty(ts.size, dtype=bool)
-            keep[0] = True
-            keep[1:] = np.diff(ts) >= win_us
-            eids.append(eid[keep])
-            uids.append(np.full(int(keep.sum()), uid, dtype=np.int64))
-            types.append(np.repeat(np.array([etype], dtype=object), int(keep.sum())))
-        if not eids:
+    def dedup(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return out_schema.empty_table()
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].dictionary_encode()
+        et = et.chunk(0) if isinstance(et, pa.ChunkedArray) else et
+        code = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, code, u))
+        u, ts, eid, code = u[order], ts[order], eid[order], code[order]
+        starts, _, _ = runs(u, code)
+        keep = np.empty(ts.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = ts[1:] - ts[:-1] >= win_us
+        keep[starts] = True  # each (user, type) run's first event
         return pa.table(
             {
-                "event_id": pa.array(np.concatenate(eids), type=pa.int64()),
-                "user_id": pa.array(np.concatenate(uids)),
-                "event_type": pa.array(
-                    np.concatenate(types).tolist(), type=pa.string()
+                "event_id": pa.array(eid[keep], type=pa.int64()),
+                "user_id": pa.array(u[keep]),
+                "event_type": et.dictionary.take(pa.array(code[keep])).cast(
+                    pa.string()
                 ),
             },
             schema=out_schema,
         )
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(
-        dedup, batch_format="pandas"
-    )
+    return bucket_grouped(ds, "user_id").map_groups(dedup, batch_format="pyarrow")
 
 
 Q_EVENT_DEDUP_WINDOW_SQL = """
@@ -558,31 +611,36 @@ def q_user_value_ntiles(sf_dir: str, n: int = 4) -> ray.data.Dataset:
         ]
     )
 
-    def ntiles(g: pd.DataFrame) -> pa.Table:
-        eids, uids, tiles = [], [], []
-        for uid, grp in g.groupby("user_id", sort=True):
-            order = np.lexsort((grp["event_id"].to_numpy(), grp["value"].to_numpy()))
-            eid = grp["event_id"].to_numpy()[order]
-            m = eid.size
-            base, extra = divmod(m, n)
-            sizes = np.full(n, base, dtype=np.int64)
-            sizes[:extra] += 1
-            tile = np.repeat(np.arange(1, n + 1, dtype=np.int64), sizes)[:m]
-            eids.append(eid)
-            uids.append(np.full(m, uid, dtype=np.int64))
-            tiles.append(tile)
-        if not eids:
+    def ntiles(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return out_schema.empty_table()
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        v = g["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, v, u))
+        u, eid = u[order], eid[order]
+        starts, lengths, run_of = runs(u)
+        p = run_positions(starts, run_of)
+        m = lengths[run_of]
+        base, extra = m // n, m % n
+        # SQL NTILE: the first `extra` tiles get base+1 rows
+        boundary = extra * (base + 1)
+        tile = np.where(
+            p < boundary,
+            p // (base + 1),
+            extra + (p - boundary) // np.maximum(base, 1),
+        ) + 1
         return pa.table(
             {
-                "event_id": pa.array(np.concatenate(eids), type=pa.int64()),
-                "user_id": pa.array(np.concatenate(uids)),
-                "tile": pa.array(np.concatenate(tiles)),
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(u),
+                "tile": pa.array(tile.astype(np.int64)),
             },
             schema=out_schema,
         )
 
-    return ds.groupby("user_id").map_groups(ntiles, batch_format="pandas")
+    return bucket_grouped(ds, "user_id").map_groups(ntiles, batch_format="pyarrow")
 
 
 Q_NTILE_SQL = """
@@ -858,35 +916,49 @@ def q_funnel(sf_dir: str) -> "pd.DataFrame":
 
     pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
 
-    def user_steps(g: pd.DataFrame) -> pa.Table:
-        uids, s2s, s3s = [], [], []
-        for uid, grp in g.groupby("user_id", sort=True):
-            ts = grp["ts"].to_numpy()
-            et = grp["event_type"].to_numpy()
-            v = ts[et == steps[0]]
-            if v.size == 0:
-                continue  # user never entered the funnel
-            t1 = v.min()
-            c = ts[(et == steps[1]) & (ts > t1)]
-            s2 = c.size > 0
-            s3 = False
-            if s2:
-                t2 = c.min()
-                s3 = bool(((et == steps[2]) & (ts > t2)).any())
-            uids.append(uid)
-            s2s.append(int(s2))
-            s3s.append(int(s3))
+    part_schema = pa.schema(
+        [("nv", pa.int64()), ("s2", pa.int64()), ("s3", pa.int64())]
+    )
+    _INF = np.int64(2**62)
+
+    def user_steps(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return part_schema.empty_table()
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        starts, _, run_of = runs(u)
+        n = u.size
+        idx = np.arange(n, dtype=np.int64)
+        # first view per user (ts-sorted => first occurrence = min ts)
+        vi = np.minimum.reduceat(np.where(et == steps[0], idx, n), starts)
+        entered = vi < n
+        t1 = np.where(entered, ts[np.minimum(vi, n - 1)], _INF)
+        # first click strictly after the first view
+        cand = (et == steps[1]) & (ts > t1[run_of])
+        ci = np.minimum.reduceat(np.where(cand, idx, n), starts)
+        s2 = ci < n
+        t2 = np.where(s2, ts[np.minimum(ci, n - 1)], _INF)
+        # any purchase strictly after that click
+        pnd = (et == steps[2]) & (ts > t2[run_of])
+        s3 = np.maximum.reduceat(pnd.astype(np.int64), starts) > 0
         return pa.table(
             {
-                "user_id": pa.array(uids, type=pa.int64()),
-                "s2": pa.array(s2s, type=pa.int64()),
-                "s3": pa.array(s3s, type=pa.int64()),
-            }
+                "nv": pa.array([int(entered.sum())], pa.int64()),
+                "s2": pa.array([int(s2.sum())], pa.int64()),
+                "s3": pa.array([int((s2 & s3).sum())], pa.int64()),
+            },
+            schema=part_schema,
         )
 
-    per_user = pruned.groupby("user_id").map_groups(user_steps, batch_format="pandas")
-    agg = per_user.aggregate(
-        Count(alias_name="n_view"),
+    per_bucket = bucket_grouped(pruned, "user_id").map_groups(
+        user_steps, batch_format="pyarrow"
+    )
+    agg = per_bucket.aggregate(
+        Sum("nv", alias_name="n_view"),
         Sum("s2", alias_name="n_view_click"),
         Sum("s3", alias_name="n_full_funnel"),
     )
@@ -935,28 +1007,37 @@ def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
         [("prev_type", pa.string()), ("next_type", pa.string()), ("n", pa.int64())]
     )
 
-    def transitions(g: pd.DataFrame) -> pa.Table:
-        parts = []
-        for _uid, grp in g.groupby("user_id", sort=False):
-            grp = grp.sort_values(["ts", "event_id"])
-            et = grp["event_type"].to_numpy()
-            if len(et) < 2:
-                continue
-            parts.append(pd.DataFrame({"prev_type": et[:-1], "next_type": et[1:]}))
-        if not parts:
+    def transitions(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
             return out_schema.empty_table()
-        allp = pd.concat(parts, ignore_index=True)
-        c = allp.value_counts(["prev_type", "next_type"]).reset_index(name="n")
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].dictionary_encode()
+        et = et.chunk(0) if isinstance(et, pa.ChunkedArray) else et
+        code = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, code = u[order], code[order]
+        same = u[1:] == u[:-1]
+        prev_c, next_c = code[:-1][same], code[1:][same]
+        if prev_c.size == 0:
+            return out_schema.empty_table()
+        ntypes = int(code.max()) + 1
+        uniq, cnt = np.unique(prev_c * ntypes + next_c, return_counts=True)
+        lut = et.dictionary.cast(pa.string())
         return pa.table(
             {
-                "prev_type": pa.array(c["prev_type"], type=pa.string()),
-                "next_type": pa.array(c["next_type"], type=pa.string()),
-                "n": pa.array(c["n"].astype("int64")),
+                "prev_type": lut.take(pa.array(uniq // ntypes)),
+                "next_type": lut.take(pa.array(uniq % ntypes)),
+                "n": pa.array(cnt.astype(np.int64)),
             },
             schema=out_schema,
         )
 
-    partials = ds.groupby("user_id").map_groups(transitions, batch_format="pandas")
+    partials = bucket_grouped(ds, "user_id").map_groups(
+        transitions, batch_format="pyarrow"
+    )
     return partials.groupby(["prev_type", "next_type"]).aggregate(
         Sum("n", alias_name="n")
     )
@@ -994,36 +1075,44 @@ def q_resample_ffill(sf_dir: str) -> ray.data.Dataset:
     )
     hour_us = 3600 * 1_000_000
 
-    def resample(g: pd.DataFrame) -> pa.Table:
-        uids, grids, vals = [], [], []
-        for uid, grp in g.groupby("user_id", sort=False):
-            grp = grp.sort_values(["ts", "event_id"])
-            ts = grp["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            v = grp["value"].to_numpy()
-            # collapse duplicate ts -> last row (max event_id after sort)
-            keep = np.concatenate([ts[1:] != ts[:-1], [True]])
-            ts, v = ts[keep], v[keep]
-            lo = -(-ts[0] // hour_us) * hour_us  # ceil to next whole hour
-            hi = (ts[-1] // hour_us) * hour_us
-            if hi < lo:
-                continue
-            grid = np.arange(lo, hi + hour_us, hour_us, dtype=np.int64)
-            idx = np.searchsorted(ts, grid, side="right") - 1
-            uids.append(np.full(grid.size, uid, dtype=np.int64))
-            grids.append(grid)
-            vals.append(v[idx])
-        if not uids:
+    def resample(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return out_schema.empty_table()
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        v = g["value"].to_numpy(zero_copy_only=False)[order]
+        # collapse duplicate (user, ts) -> last row (max event_id)
+        keep = np.concatenate([(u[1:] != u[:-1]) | (ts[1:] != ts[:-1]), [True]])
+        u, ts, v = u[keep], ts[keep], v[keep]
+        starts, lengths, _ = runs(u)
+        ends = starts + lengths - 1
+        lo_h = -(-ts[starts] // hour_us)  # ceil to next whole hour
+        hi_h = ts[ends] // hour_us
+        counts = np.maximum(hi_h - lo_h + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        grid_run = np.repeat(np.arange(starts.size, dtype=np.int64), counts)
+        off0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(total, dtype=np.int64) - off0[grid_run]
+        grid = (lo_h[grid_run] + pos) * hour_us
+        idx = run_searchsorted(ts, grid, starts, lengths, grid_run, "right") - 1
         return pa.table(
             {
-                "user_id": pa.array(np.concatenate(uids)),
-                "grid_ts": pa.array(np.concatenate(grids)).cast(pa.timestamp("us")),
-                "value": pa.array(np.concatenate(vals), type=pa.float64()),
+                "user_id": pa.array(u[starts][grid_run]),
+                "grid_ts": pa.array(grid).cast(pa.timestamp("us")),
+                "value": pa.array(v[idx], type=pa.float64()),
             },
             schema=out_schema,
         )
 
-    return ds.groupby("user_id").map_groups(resample, batch_format="pandas")
+    return bucket_grouped(ds, "user_id").map_groups(
+        resample, batch_format="pyarrow"
+    )
 
 
 Q_RESAMPLE_SQL = """
@@ -1251,27 +1340,34 @@ def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
         [("cohort_day", pa.int64()), ("offset_days", pa.int64()), ("n", pa.int64())]
     )
 
-    def per_user(g: pd.DataFrame) -> pa.Table:
-        cohorts, offsets = [], []
-        for _, grp in g.groupby("user_id", sort=False):
-            days = np.unique(grp["day"].to_numpy())  # dedup across batches
-            cohorts.append(np.full(days.size, days[0], dtype=np.int64))
-            offsets.append(days - days[0])
-        if not cohorts:
+    def per_user(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return out_schema.empty_table()
-        t = pa.table(
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        # dedup (user, day) across source batches
+        keep = np.concatenate([[True], (u[1:] != u[:-1]) | (day[1:] != day[:-1])])
+        u, day = u[keep], day[keep]
+        starts, _, run_of = runs(u)
+        cohort = day[starts][run_of]
+        offset = day - cohort
+        uniq, cnt = np.unique(cohort * np.int64(1 << 32) + offset,
+                              return_counts=True)
+        return pa.table(
             {
-                "cohort_day": pa.array(np.concatenate(cohorts)),
-                "offset_days": pa.array(np.concatenate(offsets)),
-            }
-        )
-        return (
-            t.group_by(["cohort_day", "offset_days"])
-            .aggregate([([], "count_all")])
-            .rename_columns(["cohort_day", "offset_days", "n"])
+                "cohort_day": pa.array(uniq >> 32),
+                "offset_days": pa.array(uniq & np.int64((1 << 32) - 1)),
+                "n": pa.array(cnt.astype(np.int64)),
+            },
+            schema=out_schema,
         )
 
-    partials = distinct.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    partials = bucket_grouped(distinct, "user_id").map_groups(
+        per_user, batch_format="pyarrow"
+    )
     return partials.groupby(["cohort_day", "offset_days"]).aggregate(
         Sum("n", alias_name="n_users")
     )
@@ -1376,32 +1472,35 @@ def q_moving_window_rows(sf_dir: str, k: int = 7) -> ray.data.Dataset:
         ]
     )
 
-    def windows(g: pd.DataFrame) -> pa.Table:
-        eids, uids, sums, counts = [], [], [], []
-        for uid, grp in g.groupby("user_id", sort=True):
-            order = np.lexsort((grp["event_id"].to_numpy(), grp["ts"].to_numpy()))
-            eid = grp["event_id"].to_numpy()[order]
-            cents = np.floor(grp["value"].to_numpy()[order] * 100 + 0.5).astype(np.int64)
-            csum = np.concatenate([[0], np.cumsum(cents)])
-            i = np.arange(eid.size)
-            lo = np.maximum(0, i - (k - 1))
-            eids.append(eid)
-            uids.append(np.full(eid.size, uid, dtype=np.int64))
-            sums.append((csum[i + 1] - csum[lo]) / 100.0)
-            counts.append(i + 1 - lo)
-        if not eids:
+    def windows(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return out_schema.empty_table()
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid = u[order], eid[order]
+        cents = np.floor(
+            g["value"].to_numpy(zero_copy_only=False)[order] * 100 + 0.5
+        ).astype(np.int64)
+        starts, _, run_of = runs(u)
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        i = np.arange(u.size, dtype=np.int64)
+        lo = np.maximum(i - (k - 1), starts[run_of])
         return pa.table(
             {
-                "event_id": pa.array(np.concatenate(eids), type=pa.int64()),
-                "user_id": pa.array(np.concatenate(uids)),
-                "win_value": pa.array(np.concatenate(sums)),
-                "n_window": pa.array(np.concatenate(counts), type=pa.int64()),
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(u),
+                "win_value": pa.array((csum[i + 1] - csum[lo]) / 100.0),
+                "n_window": pa.array(i + 1 - lo),
             },
             schema=out_schema,
         )
 
-    return ds.groupby("user_id").map_groups(windows, batch_format="pandas")
+    return bucket_grouped(ds, "user_id").map_groups(
+        windows, batch_format="pyarrow"
+    )
 
 
 Q_MOVING_ROWS_SQL = """
@@ -1539,16 +1638,20 @@ def q_ewma_user_value(sf_dir: str, span: int = 20) -> ray.data.Dataset:
         ]
     )
 
-    def ewma(g: pd.DataFrame) -> pa.Table:
-        u = g["user_id"].to_numpy()
+    def ewma(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         order = np.lexsort(
-            (g["event_id"].to_numpy(), g["ts"].to_numpy(), u)
+            (g["event_id"].to_numpy(zero_copy_only=False), ts, u)
         )
         uid = u[order]
-        eid = g["event_id"].to_numpy()[order]
-        cents = np.floor(g["value"].to_numpy()[order] * 100 + 0.5).astype(
-            np.int64
-        )
+        eid = g["event_id"].to_numpy(zero_copy_only=False)[order]
+        cents = np.floor(
+            g["value"].to_numpy(zero_copy_only=False)[order] * 100 + 0.5
+        ).astype(np.int64)
         n = cents.size
         num = np.zeros(n, dtype=np.int64)
         den = np.zeros(n, dtype=np.int64)
@@ -1571,7 +1674,7 @@ def q_ewma_user_value(sf_dir: str, span: int = 20) -> ray.data.Dataset:
             schema=out_schema,
         )
 
-    return ds.groupby("user_id").map_groups(ewma, batch_format="pandas")
+    return bucket_grouped(ds, "user_id").map_groups(ewma, batch_format="pyarrow")
 
 
 Q_EWMA_SQL = """

@@ -118,4 +118,15 @@ def extract_documents(
         fn = lambda t: reassemble_table(t, include_pages=True)  # noqa: E731
     else:
         fn = reassemble_table
-    return rows.groupby("doc_id").map_groups(fn, batch_format="pyarrow")
+    # coarse-bucket the reassembly shuffle: ``groupby("doc_id")`` would
+    # invoke reassemble_table once per DOCUMENT (one python call +
+    # format conversion each — 10^8 calls at corpus scale).  The kernel
+    # is segment-safe (handles any number of complete groups), so key
+    # the shuffle on hash(doc_id) % (7*CPUs) instead: bounded calls,
+    # same per-doc results, and each bucket still fits a worker.
+    from ..functions.segments import bucket_grouped_str
+
+    nbuckets = repartition_blocks or _default_repartition_blocks()
+    return bucket_grouped_str(rows, "doc_id", nbuckets).map_groups(
+        fn, batch_format="pyarrow"
+    )

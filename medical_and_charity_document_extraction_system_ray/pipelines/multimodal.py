@@ -786,15 +786,42 @@ def _pair_intersection_count(
     return int(agg["sum(exp)"]), int(agg["sum(hit)"])
 
 
-def _emit_group_pairs(id_np) -> pa.Table:
-    ids = np.sort(id_np.astype(np.int64))
-    m = ids.size
-    if m < 2:
-        return pa.schema(
-            [("pair_a", pa.int64()), ("pair_b", pa.int64())]
-        ).empty_table()
-    ii, jj = np.triu_indices(m, k=1)
-    return pa.table({"pair_a": pa.array(ids[ii]), "pair_b": pa.array(ids[jj])})
+_PAIR_SCHEMA = pa.schema([("pair_a", pa.int64()), ("pair_b", pa.int64())])
+
+
+def _emit_pairs_segmented(key_codes: np.ndarray, ids: np.ndarray) -> pa.Table:
+    """All within-key id pairs for a bucket group: ONE lexsort, then
+    pair generation only over runs with >= 2 members (the python loop
+    is bounded by the number of DUP GROUPS in the bucket, not by key
+    count — singleton keys never enter it).  Output size == the true
+    dup-pair count, the same volume the gate is counting."""
+    order = np.lexsort((ids, key_codes))
+    k, v = key_codes[order], ids[order].astype(np.int64)
+    starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    ends = np.concatenate([starts[1:], [k.size]])
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        ii, jj = np.triu_indices(m, k=1)
+        out_a.append(v[s:e][ii])
+        out_b.append(v[s:e][jj])
+    if not out_a:
+        return _PAIR_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "pair_a": pa.array(np.concatenate(out_a)),
+            "pair_b": pa.array(np.concatenate(out_b)),
+        },
+        schema=_PAIR_SCHEMA,
+    )
+
+
+def _dict_codes(col) -> np.ndarray:
+    enc = col.dictionary_encode()
+    enc = enc.chunk(0) if isinstance(enc, pa.ChunkedArray) else enc
+    return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def q_image_phash_check(sf_dir: str) -> pa.Table:
@@ -826,15 +853,16 @@ def q_image_phash_check(sf_dir: str) -> pa.Table:
             }
         )
 
-    expected = (
-        spans.map_batches(with_span_id, batch_format="pyarrow")
-        .groupby("media_ref")
-        .map_groups(
-            lambda g: _emit_group_pairs(
-                g["span_id"].to_numpy(zero_copy_only=False)
-            ),
-            batch_format="pyarrow",
-        )
+    from ..functions.segments import bucket_grouped_str
+
+    expected = bucket_grouped_str(
+        spans.map_batches(with_span_id, batch_format="pyarrow"), "media_ref"
+    ).map_groups(
+        lambda g: _emit_pairs_segmented(
+            _dict_codes(g["media_ref"].combine_chunks()),
+            g["span_id"].to_numpy(zero_copy_only=False),
+        ),
+        batch_format="pyarrow",
     )
 
     zero_schema = pa.schema([("pair_a", pa.int64()), ("pair_b", pa.int64())])
@@ -1058,9 +1086,14 @@ def q_audio_fingerprint_check(sf_dir: str) -> pa.Table:
 
     from ..sources.readers import read_table
 
+    from ..functions.segments import bucket_grouped_str
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    expected = docs.groupby("text").map_groups(
-        lambda g: _emit_group_pairs(g["doc_id"].to_numpy(zero_copy_only=False)),
+    expected = bucket_grouped_str(docs, "text").map_groups(
+        lambda g: _emit_pairs_segmented(
+            _dict_codes(g["text"].combine_chunks()),
+            g["doc_id"].to_numpy(zero_copy_only=False),
+        ),
         batch_format="pyarrow",
     )
 

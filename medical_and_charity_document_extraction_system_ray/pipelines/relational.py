@@ -494,9 +494,12 @@ WHERE NOT EXISTS (SELECT 1 FROM events
 # ---------------------------------------------------------------------------
 
 def q_top_orders_per_customer(sf_dir: str, k: int = 2) -> ray.data.Dataset:
-    """Per-key top-k: keyed shuffle + per-group sort/head — the window
-    row_number() analog."""
-    import pandas as pd
+    """Per-key top-k (the window row_number() analog): coarse-bucket
+    shuffle + ONE lexsort per bucket group + a run-position mask — no
+    per-customer python call (see functions/segments.py)."""
+    import numpy as np
+
+    from ..functions.segments import bucket_grouped, run_positions, runs
 
     ds = read_table(
         sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
@@ -510,21 +513,30 @@ def q_top_orders_per_customer(sf_dir: str, k: int = 2) -> ray.data.Dataset:
         ]
     )
 
-    def topk(g: pd.DataFrame) -> pa.Table:
-        out = []
-        for cust, grp in g.groupby("o_custkey", sort=True):
-            top = grp.sort_values(
-                ["o_totalprice", "o_orderkey"], ascending=[False, True]
-            ).head(k)
-            out.append(top)
-        if not out:
+    def topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return topk_schema.empty_table()
-        df = pd.concat(out, ignore_index=True)[
-            ["o_custkey", "o_orderkey", "o_totalprice"]
-        ]
-        return pa.Table.from_pandas(df, schema=topk_schema, preserve_index=False)
+        g = g.combine_chunks()
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        okey = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        # price DESC via exact float negation, orderkey ASC tie-break
+        order = np.lexsort((okey, -price, cust))
+        cust, okey, price = cust[order], okey[order], price[order]
+        starts, _, run_of = runs(cust)
+        keep = run_positions(starts, run_of) < k
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[keep]),
+                "o_orderkey": pa.array(okey[keep]),
+                "o_totalprice": pa.array(price[keep], type=pa.float64()),
+            },
+            schema=topk_schema,
+        )
 
-    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    return bucket_grouped(ds, "o_custkey").map_groups(
+        topk, batch_format="pyarrow"
+    )
 
 
 Q_TOP_PER_CUST_SQL = """
@@ -837,6 +849,8 @@ def q_orders_above_cust_avg(sf_dir: str) -> ray.data.Dataset:
     )
 
     def above_avg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
         g = g.combine_chunks()
         cust = g["o_custkey"].to_numpy(zero_copy_only=False)
         cents = _cents(g["o_totalprice"]).to_numpy(zero_copy_only=False)
@@ -858,7 +872,13 @@ def q_orders_above_cust_avg(sf_dir: str) -> ray.data.Dataset:
             schema=out_schema,
         )
 
-    return ds.groupby("o_custkey").map_groups(above_avg, batch_format="pyarrow")
+    from ..functions.segments import bucket_grouped
+
+    # the kernel is segment-safe: coarse-bucket the shuffle so the UDF
+    # runs once per bucket, not once per customer
+    return bucket_grouped(ds, "o_custkey").map_groups(
+        above_avg, batch_format="pyarrow"
+    )
 
 
 Q_ABOVE_AVG_SQL = """
@@ -1448,6 +1468,15 @@ def q_priority_mode_per_cust(sf_dir: str) -> ray.data.Dataset:
     )
 
     def argmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("o_custkey", pa.int64()),
+                    ("mode_priority", pa.string()),
+                    ("n_orders", pa.int64()),
+                ]
+            ).empty_table()
+        t = t.combine_chunks()
         cust = t["o_custkey"].to_numpy(zero_copy_only=False)
         n = t["n"].to_numpy(zero_copy_only=False)
         prio = t["prio"].to_numpy(zero_copy_only=False)
@@ -1462,9 +1491,14 @@ def q_priority_mode_per_cust(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    # groups are already co-located after the aggregate shuffle; the
-    # argmax only needs all rows of one customer in one block
-    return counts.groupby("o_custkey").map_groups(argmax, batch_format="pyarrow")
+    from ..functions.segments import bucket_grouped
+
+    # the argmax only needs all rows of one customer in one group; the
+    # kernel is segment-safe, so one coarse-bucket shuffle bounds the
+    # per-group python-call count
+    return bucket_grouped(counts, "o_custkey").map_groups(
+        argmax, batch_format="pyarrow"
+    )
 
 
 Q_MODE_SQL = """

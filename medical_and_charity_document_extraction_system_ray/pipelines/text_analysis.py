@@ -865,8 +865,15 @@ def q_inverted_index(sf_dir: str) -> ray.data.Dataset:
             schema=out_schema,
         )
 
+    from ..functions.segments import bucket_grouped_str
+
     partials = ds.map_batches(doc_tok, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby("token").map_groups(build, batch_format="pyarrow")
+    # the build kernel is segment-safe (lexsort + run boundaries), so
+    # shuffle on hash(token) % 64 — a web vocab would otherwise cost one
+    # python call per distinct token
+    return bucket_grouped_str(partials, "token").map_groups(
+        build, batch_format="pyarrow"
+    )
 
 
 Q_INVERTED_INDEX_SQL = r"""

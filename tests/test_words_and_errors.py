@@ -180,6 +180,77 @@ def test_include_pages_golden_tree():
     assert r["average_confidence"] == avg
 
 
+def test_reference_golden_file_parity():
+    """The engine's include_pages output tree + aggregate formulas
+    checked against the reference's REAL golden output
+    (/root/reference/storage/json_tasks/task_1.json — an actual EasyOCR
+    run, ocr_service.py:215-227): same nested key tree, and OUR
+    reassembly math (PAGE_HEADER/PAGE_SEP templating, round(mean, 2))
+    reproduces the golden's recorded aggregates bit-for-bit."""
+    import json
+    import os
+
+    import pytest
+
+    from medical_and_charity_document_extraction_system_ray.schema import (
+        PAGE_HEADER,
+        PAGE_SEP,
+    )
+
+    golden_path = "/root/reference/storage/json_tasks/task_1.json"
+    if not os.path.exists(golden_path):
+        pytest.skip("reference golden not present")
+    with open(golden_path) as f:
+        golden = json.load(f)
+
+    # ---- the golden's aggregates derive from OUR formulas ------------
+    pages = golden["pages"]
+    assert golden["average_confidence"] == round(
+        sum(p["confidence"] for p in pages) / len(pages), 2
+    )
+    assert golden["total_words"] == sum(p["word_count"] for p in pages)
+    assert golden["total_characters"] == sum(p["character_count"] for p in pages)
+    assert golden["page_count"] == len(pages)
+    assert golden["text"] == PAGE_SEP.join(
+        PAGE_HEADER.format(n=i + 1) + p["text"] for i, p in enumerate(pages)
+    )
+
+    # ---- key-tree parity: run the engine, compare trees ---------------
+    docs = pa.Table.from_pylist(
+        [
+            _doc(
+                "gp1",
+                [
+                    {"kind": "media", "text": "", "media_ref": "mem://gp1/0",
+                     "offset": 0},
+                ],
+            )
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    r = extract_documents(
+        ray.data.from_arrow(docs), ocr_concurrency=1, include_pages=True
+    ).take_all()[0]
+    # doc level: every golden key except the reference's filesystem
+    # path (pdf_path -> our doc_id; documented elimination, SURVEY §2.1)
+    doc_keys = set(golden) - {"pdf_path"}
+    assert doc_keys <= set(r) | {"spans"}
+    # page level: image_path (per-page PNG round-trip, eliminated) and
+    # engine/language/metadata (doc-level here) are the known deltas
+    page_keys = set(golden["pages"][0]) - {
+        "image_path", "engine", "language", "metadata",
+    }
+    assert page_keys <= set(r["pages"][0])
+    # word level: identical tree incl. the bbox struct
+    gw = golden["pages"][0]["words"][0]
+    ow = r["pages"][0]["words"][0]
+    assert set(gw) == set(ow)
+    assert set(gw["bbox"]) == set(ow["bbox"])
+    # golden value sanity the engine must also satisfy
+    assert all(0.0 <= w["confidence"] <= 100.0 for w in golden["pages"][0]["words"])
+    assert all(0.0 <= w["confidence"] <= 100.0 for w in r["pages"][0]["words"])
+
+
 def test_stable_error_codes():
     from medical_and_charity_document_extraction_system_ray.errors import (
         MediaCodecUnavailableError,
