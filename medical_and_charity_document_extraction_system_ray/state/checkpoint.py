@@ -134,6 +134,46 @@ def _invalidate_extra_partitions(out_dir: str, manifest: dict[int, dict], n: int
                 shutil.rmtree(os.path.join(out_dir, name))
 
 
+def _parquet_writer(data, tmp_dir: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    name = "data-00000.parquet"
+    pq.write_table(data, os.path.join(tmp_dir, name))
+    return [name]
+
+
+def _lance_writer(data, tmp_dir: str) -> list[str]:
+    """Lance partition payload (the north rule's production format,
+    SURVEY §1.2: ``out/part-{pid:05d}.lance``).  Import-gated exactly
+    like ``sources/readers.read_documents`` — the container ships no
+    lance bindings, so pytest fakes the writer; the commit/rename/
+    manifest machinery is identical either way."""
+    import lance
+
+    name = "data.lance"
+    lance.write_dataset(data, os.path.join(tmp_dir, name))
+    return [name]
+
+
+def resolve_data_writer(file_format: str) -> Callable:
+    """``file_format`` -> (table, tmp_dir) -> [payload names].  For
+    'lance' the bindings are probed HERE (driver side) so a missing
+    package fails fast instead of inside every commit task."""
+    if file_format == "parquet":
+        return _parquet_writer
+    if file_format == "lance":
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "file_format='lance' requires the 'lance' package "
+                "(pip install pylance); file_format='parquet' needs no "
+                "extra bindings"
+            ) from e
+        return _lance_writer
+    raise ValueError(f"unknown file_format: {file_format!r}")
+
+
 def run_with_checkpoints(
     files: list[str],
     out_dir: str,
@@ -142,6 +182,8 @@ def run_with_checkpoints(
     on_partition_done: Callable[[int], None] | None = None,
     finalize_fn: "Callable | None" = None,
     reader_fn: "Callable[[list[str]], ray.data.Dataset] | None" = None,
+    file_format: str = "parquet",
+    data_writer: "Callable | None" = None,
 ) -> dict:
     """Run ``pipeline_fn`` over the file groups with per-partition
     checkpointing — ONE streaming execution for all dirty partitions
@@ -159,9 +201,18 @@ def run_with_checkpoints(
 
     ``on_partition_done`` is a driver-side hook invoked as each
     partition's commit is observed (test hook: raise to simulate a
-    kill — partitions whose commit task already ran stay committed)."""
+    kill — partitions whose commit task already ran stay committed).
+
+    ``file_format`` selects the partition payload: 'parquet' (default)
+    or 'lance' (import-gated; SURVEY §1.2's production layout).
+    ``data_writer`` overrides it with a custom (table, tmp_dir) ->
+    [names] callable — also the test seam for faked lance bindings
+    (a driver-injected fake module does not exist in Ray workers, but a
+    locally-defined writer closure pickles by value)."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
+
+    if data_writer is None:
+        data_writer = resolve_data_writer(file_format)
 
     os.makedirs(out_dir, exist_ok=True)
     groups = partition_files(files, num_partitions)
@@ -217,7 +268,7 @@ def run_with_checkpoints(
         if os.path.isdir(tmp_dir):  # stale partial write from a kill
             shutil.rmtree(tmp_dir)
         os.makedirs(tmp_dir)
-        pq.write_table(data, os.path.join(tmp_dir, "data-00000.parquet"))
+        data_writer(data, tmp_dir)
         if os.path.isdir(part_dir):
             shutil.rmtree(part_dir)
         os.replace(tmp_dir, part_dir)

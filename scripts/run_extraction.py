@@ -40,6 +40,8 @@ def main() -> int:
                     help="ray session CPUs (default: all)")
     ap.add_argument("--gc-stale", action="store_true",
                     help="remove stale part-*.tmp dirs before running")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "lance"],
+                    help="partition payload format (lance needs pylance)")
     args = ap.parse_args()
 
     import ray
@@ -121,6 +123,7 @@ def main() -> int:
     summary = run_with_checkpoints(
         files, args.output, pipeline, num_partitions=args.partitions,
         finalize_fn=reassemble_table, reader_fn=reader_fn,
+        file_format=args.format,
     )
     wall = time.time() - t0
     rows = sum(e["rows"] for e in summary["manifest"].values())
