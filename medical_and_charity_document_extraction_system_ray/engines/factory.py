@@ -16,6 +16,7 @@ from __future__ import annotations
 from .band import BandOCREngine
 from .base import BaseOCREngine
 from .external import EasyOCRAdapter, PaddleOCRAdapter
+from .nanocr import NanOCREngine
 
 DEFAULT_ENGINE = "band"
 
@@ -24,6 +25,9 @@ _ENGINES: dict[str, type[BaseOCREngine]] = {
     "easyocr": EasyOCRAdapter,
     "paddle": PaddleOCRAdapter,
     "paddleocr": PaddleOCRAdapter,
+    # real trained numpy MLP recognizer (vendored weights) — the
+    # non-faked model path through the actor pool
+    "nanocr": NanOCREngine,
 }
 
 _REJECTED = {
