@@ -1085,3 +1085,226 @@ SELECT doc_id, lang,
          AS BIGINT) AS bpe_tokens
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates (tokenizer-induction step 1: top adjacent pairs)
+# ---------------------------------------------------------------------------
+
+def q_bpe_merge_candidates(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """The first merge step of BPE tokenizer training: the corpus's top
+    ``k`` adjacent character pairs by frequency (ties broken by pair
+    order — UTF-8 byte order == codepoint order, so both engines agree).
+
+    Scale shape: per-batch pair counting collapses each batch to its
+    distinct (pair, n) rows (one ``np.unique`` over codepoint
+    composites — bounded by charset², not corpus size), one tiny
+    ``groupby(pair)`` merges partials, and the final top-k sorts the
+    |charset|² table.  No text leaves its batch."""
+    from ..functions.text import utf8_codepoints
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    _K = np.int64(0x110000)  # > max codepoint: composite is injective
+
+    def partial(t: pa.Table) -> pa.Table:
+        cps, rows = utf8_codepoints(t["text"].combine_chunks())
+        if cps.size < 2:
+            return pa.table(
+                {"pair_key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        same = rows[1:] == rows[:-1]
+        comp = cps[:-1][same].astype(np.int64) * _K + cps[1:][same]
+        u, c = np.unique(comp, return_counts=True)
+        return pa.table({"pair_key": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair_key")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pair_key" not in t.column_names:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        key = t["pair_key"].to_numpy(zero_copy_only=False)
+        pair = [chr(int(x) // 0x110000) + chr(int(x) % 0x110000) for x in key]
+        return pa.table(
+            {"pair": pa.array(pair, pa.string()), "n": pc.cast(t["n"], pa.int64())}
+        )
+
+    return (
+        counts.map_batches(decode, batch_format="pyarrow")
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(k)
+    )
+
+
+Q_BPE_MERGE_SQL = """
+WITH pairs AS (
+  SELECT UNNEST(list_transform(range(1, length(text)),
+                               i -> text[i] || text[i+1])) AS pair
+  FROM documents WHERE length(text) > 1
+), c AS (
+  SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Adjacent-token PMI (collocation mining over the corpus)
+# ---------------------------------------------------------------------------
+
+def q_token_pmi(sf_dir: str, min_count: int = 10) -> ray.data.Dataset:
+    """Pointwise mutual information of adjacent token pairs —
+    collocation mining, the classic corpus-statistics feature for
+    phrase detection:
+
+        pmi = ln( (n_ab / N_pair) / ((n_a / N_tok) * (n_b / N_tok)) )
+
+    computed from exact BIGINT counts with the identical
+    double-precision expression on both engines, floored to the 1e-6
+    grid.  '' tokens (edge whitespace artifacts) are excluded on both
+    sides; pairs rarer than ``min_count`` are dropped.
+
+    Scale shape: per-batch distinct (pair, n) partials (dictionary-
+    encode + one np.unique over code composites), one pair-keyed
+    groupby; the unigram table is broadcast once via ``ray.put`` (tiny
+    here — at a web vocab swap the lookup for a token-keyed join)."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], " "), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(flat)
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        n = code.size
+        if n < 2:
+            return pa.table(
+                {"tok_a": pa.array([], pa.string()),
+                 "tok_b": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        same = parent[1:] == parent[:-1]
+        a, b = code[:-1][same], code[1:][same]
+        # '' (edge-whitespace artifact) never pairs on either side
+        lens = pc.utf8_length(vocab).to_numpy(zero_copy_only=False)
+        ok = (lens[a] > 0) & (lens[b] > 0)
+        a, b = a[ok], b[ok]
+        if a.size == 0:
+            return pa.table(
+                {"tok_a": pa.array([], pa.string()),
+                 "tok_b": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        v = len(vocab)
+        u, c = np.unique(a * v + b, return_counts=True)
+        return pa.table(
+            {
+                "tok_a": vocab.take(pa.array(u // v)).cast(pa.string()),
+                "tok_b": vocab.take(pa.array(u % v)).cast(pa.string()),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    pair_counts = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n", alias_name="n_ab"))
+    )
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], " "), r"\s+")
+        flat = pa.table({"token": pc.list_flatten(toks)})
+        flat = flat.filter(pc.not_equal(flat["token"], ""))
+        g = flat.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "n"])
+
+    uni = (
+        ds.map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_arrow_refs()
+    )
+    tabs = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+            for b in ray.get(uni)]
+    vt = pa.concat_tables([t for t in tabs if t.num_rows], promote_options="default")
+    tok_arr = vt["token"].combine_chunks()
+    tok_arr = tok_arr.chunk(0) if isinstance(tok_arr, pa.ChunkedArray) else tok_arr
+    cnt = vt["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n_tok = float(cnt.sum())
+    vocab_ref = ray.put((tok_arr, cnt))
+
+    # N_pair: one tiny count over the pair table (exact, driver-side)
+    agg = pair_counts.sum("n_ab")
+    n_pair = float(agg if agg is not None else 0.0)
+
+    out_schema = pa.schema(
+        [
+            ("tok_a", pa.string()),
+            ("tok_b", pa.string()),
+            ("n_ab", pa.int64()),
+            ("pmi", pa.float64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok_a" not in t.column_names:
+            return out_schema.empty_table()
+        t = t.filter(pc.greater_equal(t["n_ab"], min_count))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        toks, counts_ = ray.get(vocab_ref)
+        t = t.combine_chunks()
+        ia = pc.index_in(t["tok_a"], value_set=toks).to_numpy(zero_copy_only=False)
+        ib = pc.index_in(t["tok_b"], value_set=toks).to_numpy(zero_copy_only=False)
+        nab = t["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        num = nab * n_tok * n_tok
+        den = n_pair * counts_[ia.astype(np.int64)] * counts_[ib.astype(np.int64)]
+        pmi = np.floor(np.log(num / den) * 1e6) / 1e6
+        return pa.table(
+            {
+                "tok_a": t["tok_a"],
+                "tok_b": t["tok_b"],
+                "n_ab": pc.cast(t["n_ab"], pa.int64()),
+                "pmi": pa.array(pmi),
+            },
+            schema=out_schema,
+        )
+
+    return pair_counts.map_batches(score, batch_format="pyarrow")
+
+
+Q_TOKEN_PMI_SQL = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text, ' '), '\s+') AS tk
+  FROM documents WHERE length(trim(text, ' ')) > 0
+), uni AS (
+  SELECT token, COUNT(*) AS n FROM (
+    SELECT UNNEST(tk) AS token FROM toks
+  ) WHERE token <> '' GROUP BY token
+), n_tok AS (SELECT CAST(SUM(n) AS DOUBLE) AS v FROM uni),
+bi AS (
+  SELECT (p).a AS tok_a, (p).b AS tok_b, COUNT(*) AS n_ab FROM (
+    SELECT UNNEST(list_transform(range(1, len(tk)),
+                  i -> struct_pack(a := tk[i], b := tk[i+1]))) AS p
+    FROM toks WHERE len(tk) > 1
+  ) WHERE (p).a <> '' AND (p).b <> '' GROUP BY 1, 2
+), n_pair AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS v FROM bi)
+SELECT b.tok_a, b.tok_b, b.n_ab,
+       FLOOR(ln(CAST(b.n_ab AS DOUBLE) * n_tok.v * n_tok.v
+                / (n_pair.v * CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)))
+             * 1000000) / 1000000 AS pmi
+FROM bi b
+JOIN uni ua ON ua.token = b.tok_a
+JOIN uni ub ON ub.token = b.tok_b
+CROSS JOIN n_tok CROSS JOIN n_pair
+WHERE b.n_ab >= 10
+"""
