@@ -902,3 +902,81 @@ FROM cc, nn
 JOIN s sa ON sa.i = cc.i
 JOIN s sb ON sb.i = cc.j
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 vector quantization + reconstruction-error audit
+# ---------------------------------------------------------------------------
+
+def q_embedding_quantize_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-vector int8 symmetric quantization audit — the storage-
+    compression step before shipping embeddings to an ANN index:
+    scale = max|x| / 127, q_j = floor(x_j / scale + 0.5) (the repo's
+    exact half-up grid, never python round vs SQL ROUND), and the
+    reconstruction MSE of q*scale vs x.  Emits (vec_id, scale, mse,
+    max_abs_err) on the 1e-6 floor grid.
+
+    Fully per-batch vectorized (one [n, dim] matrix per batch, no
+    shuffle at all); the SQL oracle runs the identical double
+    expression through DuckDB list lambdas."""
+    import pyarrow.compute as pc
+
+    from ..functions.vectors import list_column_matrix
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("scale", pa.float64()),
+            ("mse", pa.float64()),
+            ("max_abs_err", pa.float64()),
+        ]
+    )
+
+    def audit(t: pa.Table) -> pa.Table:
+        m = list_column_matrix(t["embedding"])  # [n, dim] float64
+        scale = np.abs(m).max(axis=1) / 127.0
+        # degenerate all-zero vector: scale 0 -> q = 0, err = 0
+        safe = np.where(scale > 0, scale, 1.0)
+        q = np.floor(m / safe[:, None] + 0.5)
+        err = m - q * safe[:, None]
+        mse = (err * err).mean(axis=1)
+        mae = np.abs(err).max(axis=1)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "scale": pa.array(np.floor(scale * 1e6) / 1e6),
+                "mse": pa.array(np.floor(mse * 1e9) / 1e9),
+                "max_abs_err": pa.array(np.floor(mae * 1e6) / 1e6),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(audit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_EMB_QUANT_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), err AS (
+  SELECT vec_id, scale,
+         list_transform(e, x -> x - FLOOR(x / (CASE WHEN scale > 0
+                   THEN scale ELSE 1.0 END) + 0.5) * (CASE WHEN scale > 0
+                   THEN scale ELSE 1.0 END)) AS d,
+         len(e) AS dim
+  FROM s
+)
+SELECT vec_id,
+       FLOOR(scale * 1000000) / 1000000 AS scale,
+       FLOOR(list_sum(list_transform(d, x -> x * x)) / dim * 1000000000)
+         / 1000000000 AS mse,
+       FLOOR(list_max(list_transform(d, x -> abs(x))) * 1000000) / 1000000
+         AS max_abs_err
+FROM err
+"""

@@ -1308,3 +1308,111 @@ JOIN uni ub ON ub.token = b.tok_b
 CROSS JOIN n_tok CROSS JOIN n_pair
 WHERE b.n_ab >= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Char-bigram LM cross-entropy (the CCNet-style perplexity quality proxy)
+# ---------------------------------------------------------------------------
+
+def q_char_bigram_xent(sf_dir: str) -> ray.data.Dataset:
+    """Per-document cross-entropy under the corpus's own char-bigram
+    LM: xent = -mean over positions i>0 of ln( n(c_{i-1}c_i) /
+    n_left(c_{i-1}) ) — the language-model perplexity proxy used for
+    corpus quality filtering, at char level so it needs no tokenizer.
+    Every bigram in a doc is in the corpus counts by construction (the
+    LM is trained on the same corpus), so no smoothing term is needed.
+
+    Scale shape: pass 1 reduces to the char-bigram count table (bounded
+    by charset^2) via per-batch np.unique partials + one tiny groupby,
+    broadcast once with ``ray.put``; pass 2 scores each doc with one
+    searchsorted lookup + segment sums — docs never leave their batch.
+    Floats: identical double expression + 1e-6 floor on both engines
+    (ln parity holds, same libm — see the TF-IDF stage)."""
+    from ..functions.text import utf8_codepoints
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    _K = np.int64(0x110000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cps, rows = utf8_codepoints(t["text"].combine_chunks())
+        if cps.size < 2:
+            return pa.table(
+                {"pair_key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        same = rows[1:] == rows[:-1]
+        comp = cps[:-1][same].astype(np.int64) * _K + cps[1:][same]
+        u, c = np.unique(comp, return_counts=True)
+        return pa.table({"pair_key": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair_key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_arrow_refs()
+    )
+    tabs = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+            for b in ray.get(counts)]
+    vt = pa.concat_tables([t for t in tabs if t.num_rows], promote_options="default")
+    keys = vt["pair_key"].to_numpy(zero_copy_only=False)
+    ns = vt["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(keys)
+    keys, ns = keys[order], ns[order]
+    # left-context totals n_left(a) = sum over b of n(ab)
+    left = keys // _K
+    lk, li = np.unique(left, return_inverse=True)
+    ln_tot = np.bincount(li, weights=ns)
+    # per-pair ln probability, precomputed once
+    lp = np.log(ns / ln_tot[li])
+    lm_ref = ray.put((keys, lp))
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64()), ("xent", pa.float64())]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        keys_l, lp_l = ray.get(lm_ref)
+        t = t.combine_chunks()
+        cps, rows = utf8_codepoints(t["text"])
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        nrows = t.num_rows
+        if cps.size < 2:
+            return out_schema.empty_table()
+        same = rows[1:] == rows[:-1]
+        comp = cps[:-1][same].astype(np.int64) * _K + cps[1:][same]
+        prow = rows[1:][same]
+        idx = np.searchsorted(keys_l, comp)
+        vals = lp_l[idx]
+        n_bi = np.bincount(prow, minlength=nrows).astype(np.int64)
+        sums = np.bincount(prow, weights=vals, minlength=nrows)
+        keep = n_bi > 0
+        xent = -(sums[keep] / n_bi[keep])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep].astype(np.int64)),
+                "n_bigrams": pa.array(n_bi[keep]),
+                "xent": pa.array(np.floor(xent * 1e6) / 1e6),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_CHAR_BIGRAM_XENT_SQL = """
+WITH bi AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, length(text)),
+                               i -> text[i] || text[i+1])) AS pair
+  FROM documents WHERE length(text) > 1
+), c AS (
+  SELECT pair, COUNT(*) AS n FROM bi GROUP BY pair
+), lt AS (
+  SELECT pair[1] AS a, CAST(SUM(n) AS DOUBLE) AS n_left FROM c GROUP BY 1
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       FLOOR(-AVG(ln(CAST(c.n AS DOUBLE) / lt.n_left)) * 1000000) / 1000000
+         AS xent
+FROM bi b JOIN c ON c.pair = b.pair JOIN lt ON lt.a = b.pair[1]
+GROUP BY b.doc_id
+"""
