@@ -1,10 +1,13 @@
 """Stream-shaped operators over the ``events`` table.
 
 Ray Data is a batch engine (and the reference has no streaming either,
-SURVEY.md §2.10) — stream semantics are expressed as: partition by key,
-order by ``ts`` within the partition, window inside ``map_groups``
-(see ray guide, "Streaming-shaped workloads").  Ordering assumption:
-event time is complete per key at run time (no watermarks / late data).
+SURVEY.md §2.10) — stream semantics are expressed as: shuffle on a
+COARSE key bucket (``hash(user) % 64``), lexsort once per bucket
+group, and run every window kernel flat over the sorted columns with
+run-boundary masks (``functions/segments.py``) — bounded python-call
+count at any user cardinality.  Ordering assumption: event time is
+complete per key at run time (no watermarks / late data; see
+``q_watermark_window_stats`` for the bounded-out-of-orderness variant).
 """
 
 from __future__ import annotations
@@ -243,8 +246,9 @@ ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') b
 
 def q_running_user_value(sf_dir: str) -> ray.data.Dataset:
     """Per-user running total of value in event-time order (window
-    function analog): keyed shuffle, ts sort within group, exact
-    integer-cents cumsum."""
+    function analog): coarse-bucket shuffle, ONE lexsort per bucket
+    group, exact integer-cents cumsum with run-base subtraction — no
+    per-user python call (functions/segments.py)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -309,8 +313,9 @@ FROM events
 
 def q_user_event_ranks(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """ROW_NUMBER() window analog: each user's top-k events by value
-    (unique tie-break on event_id), rank attached — keyed shuffle +
-    per-group vectorized argsort, only k rows per user leave the group."""
+    (unique tie-break on event_id), rank attached — coarse-bucket
+    shuffle + one lexsort per bucket group + a run-position mask; only
+    k rows per user leave the group."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "value"])
 
     rank_schema = pa.schema(
@@ -428,9 +433,10 @@ def q_rolling_user_value(sf_dir: str, window_minutes: int = 60) -> ray.data.Data
     ROW`` analog — peers at the same ts are all included, per SQL RANGE
     semantics).
 
-    Keyed shuffle on user_id; inside the group each user's events are
-    sorted once and the frame sums come from a prefix-sum +
-    two-searchsorted sweep — O(n log n) per user, no per-row loop."""
+    Coarse-bucket shuffle; one lexsort per bucket group, then the
+    frame sums come from a global prefix-sum + two RUN-RESTRICTED
+    searchsorteds over the flat columns (functions/segments.py) — no
+    per-user python call, no per-row loop."""
     win_us = window_minutes * 60 * 1_000_000
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
 
@@ -487,8 +493,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 def q_event_gaps(sf_dir: str) -> ray.data.Dataset:
     """LAG window analog: per event, microseconds since the user's
     previous event (NULL for each user's first).  Deterministic order
-    (ts, event_id) on both sides; keyed shuffle + one vectorized diff
-    per user."""
+    (ts, event_id) on both sides; coarse-bucket shuffle + ONE
+    vectorized diff over the whole sorted bucket group, run starts
+    masked to NULL."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
     out_schema = pa.schema(
@@ -598,9 +605,10 @@ SELECT event_id, user_id, event_type FROM (
 
 def q_user_value_ntiles(sf_dir: str, n: int = 4) -> ray.data.Dataset:
     """NTILE(4) per user over (value, event_id) order — quartile
-    bucketing inside each key, deterministic tie-break.  Keyed shuffle +
-    one argsort per user; tile sizes follow SQL NTILE semantics (first
-    ``extra`` tiles get the +1)."""
+    bucketing inside each key, deterministic tie-break.  Coarse-bucket
+    shuffle + one lexsort per bucket group; tile indices come from a
+    closed-form run-position expression following SQL NTILE semantics
+    (first ``extra`` tiles get the +1) — no per-user python call."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "value"])
 
     out_schema = pa.schema(
@@ -905,8 +913,10 @@ def q_funnel(sf_dir: str) -> "pd.DataFrame":
     shuffle moves only (user_id, event_type, ts) rows.  A funnel has no
     lossless small per-type partial (step k's time depends on step
     k-1's), so the per-user event set is the minimal shuffle payload.
-    The per-user step walk is bounded per group; the final reduce is a
-    3-counter aggregate.
+    The step walk is three masked ``reduceat`` sweeps over the sorted
+    bucket group (first view, first later click, any later purchase) —
+    no per-user python; each bucket emits ONE partial row and the
+    final reduce is a 3-counter sum.
     """
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
     steps = ("view", "click", "purchase")
@@ -997,10 +1007,11 @@ def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
     types per user (ordered by ts, event_id tie-break) — the session-
     flow matrix behind next-action models.
 
-    Keyed shuffle moves (user_id, event_type, ts, event_id); inside
-    each group one argsort + one shifted comparison produces every
-    (prev, next) pair vectorized, and per-group partial counts keep
-    the final transition groupby at |types|^2 rows."""
+    Coarse-bucket shuffle moves (user_id, event_type, ts, event_id);
+    one lexsort per bucket group + one shifted comparison produces
+    every (prev, next) pair vectorized (dictionary-encoded), and
+    per-bucket partial counts keep the final transition groupby at
+    |types|^2 rows."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
 
     out_schema = pa.schema(
@@ -1066,7 +1077,9 @@ def q_resample_ffill(sf_dir: str) -> ray.data.Dataset:
     Ambiguity guard shared with the SQL oracle: events are first
     collapsed to one row per (user, ts) keeping the max event_id's
     value, so the as-of pick is deterministic on duplicate timestamps.
-    Per group: one np.searchsorted of grid points into event times."""
+    Coarse-bucket shuffle; per bucket group the grid is materialized
+    for ALL users at once (repeat/cumsum arithmetic) and resolved with
+    one run-restricted searchsorted (functions/segments.py)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
 
     out_schema = pa.schema(
@@ -1315,10 +1328,11 @@ def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
 
     Scale shape: per-batch distinct (user, day) collapse BEFORE the
     keyed shuffle (an activity log has many events per user-day, the
-    shuffle moves one row per user-day per batch); one
-    groupby(user).map_groups computes each user's cohort and offsets
-    with a local pre-count, so the final (cohort, offset) groupby sums
-    tiny partials.  No driver-side state at all."""
+    shuffle moves one row per user-day per batch); one coarse-bucket
+    group computes every user's cohort and offsets in a single lexsort
+    + run-boundary pass with a local pre-count, so the final
+    (cohort, offset) groupby sums tiny partials.  No driver-side state
+    at all."""
     day_us = 86400 * 1_000_000
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
@@ -1623,7 +1637,7 @@ def q_ewma_user_value(sf_dir: str, span: int = 20) -> ray.data.Dataset:
     even needed: it stays int64), so the single float division is
     bit-identical to DuckDB's and the result floor-grids cleanly.
 
-    Scale shape: one keyed shuffle; inside each sorted run the trailing
+    Scale shape: one coarse-bucket shuffle; inside each sorted run the trailing
     window is 20 shifted multiply-adds over the FLAT column with
     row-boundary masks — no per-user python loop, no quadratic frame."""
     ds = read_table(
