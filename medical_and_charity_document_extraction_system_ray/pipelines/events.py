@@ -1778,3 +1778,94 @@ SELECT make_timestamp(((CAST(FLOOR(epoch(ts) / 900) AS BIGINT) - k.k) * 900)
 FROM events, (SELECT UNNEST(range(0, 4)) AS k) k
 GROUP BY 1
 """
+
+
+def q_trimmed_mean_value(sf_dir: str, trim_pct: int = 5) -> ray.data.Dataset:
+    """5%-trimmed mean of ``value`` per event_type — the robust
+    aggregate that survives heavy-tailed junk where AVG does not.
+
+    Order statistics WITHOUT a global sort: pass 1 reduces the fact
+    table to the exact per-(type, cents) histogram (bounded by the
+    value domain, the ``q_percent_rank_value`` shape — at an unbounded
+    domain swap in the mergeable histogram sketch); the driver trims
+    k = n // 20 occurrences off each end of the cumulative histogram
+    with integer arithmetic (partial bins included exactly), so the
+    trimmed sum is int64-exact and the single double division matches
+    the SQL window form bit-for-bit."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"event_type": t["event_type"], "c": _cents(t["value"])})
+            .group_by(["event_type", "c"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "c", "n"])
+        )
+
+    rows = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["c"], r["n"]))
+    out_t, out_n, out_mean = [], [], []
+    for ty in sorted(by_type):
+        pairs = sorted(by_type[ty])
+        cs = np.array([p[0] for p in pairs], dtype=np.int64)
+        ns = np.array([p[1] for p in pairs], dtype=np.int64)
+        total = int(ns.sum())
+        k = total // (100 // trim_pct)
+        kept = total - 2 * k
+        if kept <= 0:
+            continue
+        cum = np.cumsum(ns)
+        # sum of the k smallest occurrences (partial last bin exact)
+        def head_sum(k_):
+            if k_ == 0:
+                return 0
+            i = int(np.searchsorted(cum, k_))
+            below = int((ns[:i] * cs[:i]).sum())
+            prev = int(cum[i - 1]) if i > 0 else 0
+            return below + (k_ - prev) * int(cs[i])
+        lo = head_sum(k)
+        hi_all = int((ns * cs).sum())
+        # k largest = total sum minus sum of first (total - k)
+        hi = hi_all - head_sum(total - k)
+        trimmed = hi_all - lo - hi
+        out_t.append(ty)
+        out_n.append(kept)
+        out_mean.append(
+            np.floor(float(trimmed) / kept / 100.0 * 1e6) / 1e6
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "n_kept": pa.array(out_n, pa.int64()),
+                "trimmed_mean": pa.array(out_mean, pa.float64()),
+            }
+        )
+    )
+
+
+Q_TRIMMED_MEAN_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 * 1000000)
+         / 1000000 AS trimmed_mean
+FROM r
+WHERE rn > n // 20 AND rn <= n - n // 20
+GROUP BY event_type
+"""
