@@ -1311,6 +1311,110 @@ WHERE b.n_ab >= 10
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney continuation counts (n-gram LM training statistic)
+# ---------------------------------------------------------------------------
+
+def q_kn_continuation(sf_dir: str) -> ray.data.Dataset:
+    """Kneser-Ney continuation counts — the lower-order statistic of
+    the classic smoothed n-gram LM: for each token ``w``,
+    ``n1p = N1+(· w)`` (how many DISTINCT left contexts precede it) and
+    the continuation probability ``p_cont = n1p / |distinct bigram
+    types|``.  "Francisco" is frequent but only ever follows "San" —
+    continuation counts are what stop a smoothed LM from over-predicting
+    it in fresh contexts.
+
+    Scale shape: per-batch DISTINCT (prev, tok) pairs (one np.unique
+    over dictionary-code composites — the shuffle moves pair *types*,
+    never occurrences), a pair-keyed groupby collapses cross-batch
+    repeats, and the tok-keyed count runs over the type table.  The
+    type table is materialized once (bounded by observed bigram types,
+    not corpus size) so the driver total and the per-token counts share
+    one execution.  Exact BIGINT counts; the single ``n1p / total``
+    division is the identical double expression in SQL, floored to the
+    1e-6 grid."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    pair_schema = pa.schema([("prev", pa.string()), ("tok", pa.string())])
+
+    def pair_types(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], " "), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(flat)
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        if code.size < 2:
+            return pair_schema.empty_table()
+        same = parent[1:] == parent[:-1]
+        a, b = code[:-1][same], code[1:][same]
+        lens = pc.utf8_length(vocab).to_numpy(zero_copy_only=False)
+        ok = (lens[a] > 0) & (lens[b] > 0)
+        a, b = a[ok], b[ok]
+        if a.size == 0:
+            return pair_schema.empty_table()
+        u = np.unique(a * np.int64(len(vocab)) + b)
+        return pa.table(
+            {
+                "prev": vocab.take(pa.array(u // len(vocab))).cast(pa.string()),
+                "tok": vocab.take(pa.array(u % len(vocab))).cast(pa.string()),
+            },
+            schema=pair_schema,
+        )
+
+    types = (
+        ds.map_batches(pair_types, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["prev", "tok"])
+        .aggregate(Count(alias_name="_one"))
+        .materialize()  # bounded by bigram TYPES, not corpus size
+    )
+    total = float(types.count())
+
+    out_schema = pa.schema(
+        [("token", pa.string()), ("n1p", pa.int64()), ("p_cont", pa.float64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return out_schema.empty_table()
+        n1p = t["n1p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "token": t["tok"],
+                "n1p": pa.array(n1p),
+                "p_cont": pa.array(
+                    np.floor(n1p.astype(np.float64) / total * 1e6) / 1e6
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        types.groupby("tok")
+        .aggregate(Count(alias_name="n1p"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+Q_KN_CONTINUATION_SQL = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text, ' '), '\s+') AS tk
+  FROM documents WHERE length(trim(text, ' ')) > 0
+), bi AS (
+  SELECT DISTINCT (p).a AS prev, (p).b AS tok FROM (
+    SELECT UNNEST(list_transform(range(1, len(tk)),
+                  i -> struct_pack(a := tk[i], b := tk[i+1]))) AS p
+    FROM toks WHERE len(tk) > 1
+  ) WHERE (p).a <> '' AND (p).b <> ''
+), total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM bi)
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n1p,
+       FLOOR(COUNT(*) / total.v * 1000000) / 1000000 AS p_cont
+FROM bi CROSS JOIN total GROUP BY tok, total.v
+"""
+
+
+# ---------------------------------------------------------------------------
 # Char-bigram LM cross-entropy (the CCNet-style perplexity quality proxy)
 # ---------------------------------------------------------------------------
 
