@@ -34,6 +34,8 @@ __all__ = [
     "q_chunk_plan",
     "q_pack_plan",
     "q_decontaminate",
+    "q_dsir_weights",
+    "Q_DSIR_SQL",
     "Q_CHUNK_SQL",
     "Q_PACK_SQL",
     "Q_DECON_SQL",
@@ -516,4 +518,177 @@ SELECT source, n AS n_docs,
        FLOOR(SQRT(CAST(n AS DOUBLE)) * 1e6 + 1e-3) / 1e6 AS w,
        FLOOR(SQRT(CAST(n AS DOUBLE)) / tot * 1e6 + 1e-3) / 1e6 AS p
 FROM s, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-bigram data selection)
+# ---------------------------------------------------------------------------
+
+def q_dsir_weights(sf_dir: str, buckets: int = 256) -> ray.data.Dataset:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): hash word bigrams into ``buckets`` feature buckets,
+    fit add-1-smoothed bucket distributions for the TARGET domain
+    (here the ground-truth ``lang = 'en'`` slice) and the RAW corpus,
+    and score every document with its mean per-bigram log importance
+    ratio ``log p_target(b) - log p_raw(b)``.  High scores mark
+    raw-corpus documents that look like the target domain — the
+    resampling key of the DSIR pipeline.
+
+    Scale shape (100 TB): pass 1 emits per-batch bucket-count partials
+    (<= ``buckets`` rows per batch, two tagged columns) through ONE
+    tiny groupby; the resulting <=256-row table collapses to a
+    ``buckets``-length float64 log-ratio array broadcast once via
+    ``ray.put``.  Pass 2 streams: bigrams are hashed per batch
+    (vectorized Horner fold, the SQL-matched ``fingerprint64``) and
+    scored with one gather + ``np.add.reduceat`` segment means — a
+    doc's text never leaves its batch and no stage materializes the
+    corpus.  ``ln`` parity with DuckDB holds (same libm, one division
+    per term — the unigram-LM recipe); the per-doc mean is floored to
+    the 1e-6 grid to absorb sum-order ulps.  Documents with zero
+    bigrams are excluded (the SQL side has no bigram rows for them).
+    """
+    from ..functions.text import fingerprint64, floor6
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    nb = np.int64(buckets)
+
+    def _bigram_buckets(t: pa.Table):
+        """(parent_row, bucket) arrays for every word bigram in the batch."""
+        toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], " "), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        good = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(good))
+        parent = parent[good]
+        if len(flat) < 2:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        same = parent[1:] == parent[:-1]
+        if not same.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        w1 = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+        w2 = flat.slice(1).filter(pa.array(same))
+        joined = pc.binary_join_element_wise(w1, w2, " ")
+        bucket = (fingerprint64(joined) % np.uint64(buckets)).astype(np.int64)
+        return parent[:-1][same], bucket
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        parent, bucket = _bigram_buckets(t)
+        if bucket.size == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "c_tgt": pa.array([], pa.int64()),
+                    "c_raw": pa.array([], pa.int64()),
+                }
+            )
+        is_tgt = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        c_raw = np.bincount(bucket, minlength=buckets).astype(np.int64)
+        c_tgt = np.bincount(
+            bucket[is_tgt[parent]], minlength=buckets
+        ).astype(np.int64)
+        nz = np.flatnonzero(c_raw)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "c_tgt": pa.array(c_tgt[nz]),
+                "c_raw": pa.array(c_raw[nz]),
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("c_tgt", alias_name="c_tgt"), Sum("c_raw", alias_name="c_raw"))
+    )
+    tabs = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in ray.get(counts.to_arrow_refs())
+    ]
+    tabs = [t for t in tabs if t.num_rows and "bucket" in t.column_names]
+    c_tgt = np.zeros(buckets, dtype=np.int64)
+    c_raw = np.zeros(buckets, dtype=np.int64)
+    if tabs:
+        ct = pa.concat_tables(tabs, promote_options="default")
+        bk = ct["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_tgt[bk] = ct["c_tgt"].to_numpy(zero_copy_only=False)
+        c_raw[bk] = ct["c_raw"].to_numpy(zero_copy_only=False)
+    n_tgt = float(c_tgt.sum())
+    n_raw = float(c_raw.sum())
+    # add-1 smoothing; one division per term, then ln — the exact SQL
+    # expression ln((c+1)/(N+B)) term-for-term
+    logratio = np.log((c_tgt + 1.0) / (n_tgt + float(buckets))) - np.log(
+        (c_raw + 1.0) / (n_raw + float(buckets))
+    )
+    ratio_ref = ray.put(logratio)
+
+    def score(t: pa.Table) -> pa.Table:
+        lr = ray.get(ratio_ref)
+        t = t.combine_chunks()
+        parent, bucket = _bigram_buckets(t)
+        nrows = t.num_rows
+        n_bg = np.bincount(parent, minlength=nrows).astype(np.int64) if bucket.size else np.zeros(nrows, np.int64)
+        sums = np.zeros(nrows, dtype=np.float64)
+        if bucket.size:
+            # bigram stream stays row-grouped in order -> reduceat segments
+            offsets = np.concatenate(([0], np.cumsum(n_bg)[:-1]))
+            keep0 = n_bg > 0
+            sums[keep0] = np.add.reduceat(lr[bucket], offsets[keep0])
+        keep = n_bg > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "n_bigrams": pa.array(n_bg[keep]),
+                "avg_logw": pa.array(floor6(sums[keep] / n_bg[keep])),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text, ' '), '\s+'),
+                     w -> w <> '') AS tk
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang, (p).a || ' ' || (p).b AS bigram
+  FROM (
+    SELECT doc_id, lang,
+           UNNEST(list_transform(range(1, len(tk)),
+                  i -> struct_pack(a := tk[i], b := tk[i+1]))) AS p
+    FROM toks WHERE len(tk) > 1
+  )
+), bk AS (
+  SELECT doc_id, lang,
+         CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+              list_transform(range(1, length(bigram)+1), i -> unicode(bigram[i]))),
+              (a, x) -> (a * 1099511628211 + x) % 18446744073709551616)
+              % 256 AS BIGINT) AS bucket
+  FROM bg
+), tot AS (
+  SELECT CAST(COUNT(*) FILTER (lang = 'en') AS DOUBLE) AS nt,
+         CAST(COUNT(*) AS DOUBLE) AS nr
+  FROM bk
+), lr AS (
+  SELECT r.bucket,
+         ln((COALESCE(t.c, 0) + 1.0) / (tot.nt + 256.0))
+         - ln((r.c + 1.0) / (tot.nr + 256.0)) AS logratio
+  FROM (SELECT bucket, COUNT(*) AS c FROM bk GROUP BY bucket) r
+  LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM bk WHERE lang = 'en'
+             GROUP BY bucket) t USING (bucket)
+  CROSS JOIN tot
+)
+SELECT bk.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       FLOOR(SUM(lr.logratio) / COUNT(*) * 1000000) / 1000000 AS avg_logw
+FROM bk JOIN lr USING (bucket)
+GROUP BY bk.doc_id
 """
