@@ -91,6 +91,55 @@ FROM documents GROUP BY text
 """
 
 
+def q_dup_cluster_sizes(sf_dir: str) -> ray.data.Dataset:
+    """Histogram of exact-duplicate cluster sizes — the corpus-health
+    summary every dedup run reports (how much of the corpus is unique,
+    how heavy the heaviest clusters are).
+
+    Scale shape: per-batch (text -> count) partials so the one
+    text-keyed shuffle moves distinct texts per batch, then the
+    cluster-size histogram itself re-aggregates with per-batch
+    partials over a tiny bounded key (distinct sizes) — output is a
+    handful of rows regardless of corpus size."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("text").aggregate([([], "count_all")])
+        return g.rename_columns(["text", "n"])
+
+    clusters = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text")
+        .aggregate(Sum("n", alias_name="cluster_size"))
+    )
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_size" not in t.column_names:
+            return pa.table(
+                {
+                    "cluster_size": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = t.select(["cluster_size"]).group_by("cluster_size").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["cluster_size", "n"])
+
+    return (
+        clusters.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n", alias_name="n_clusters"))
+    )
+
+
+Q_DUP_CLUSTER_SIZES_SQL = """
+WITH g AS (SELECT COUNT(*) AS cluster_size FROM documents GROUP BY text)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM g GROUP BY cluster_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash signatures (vectorized)
 # ---------------------------------------------------------------------------
