@@ -1520,3 +1520,110 @@ SELECT b.doc_id,
 FROM bi b JOIN c ON c.pair = b.pair JOIN lt ON lt.a = b.pair[1]
 GROUP BY b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language (bytes/token, tokens/word)
+# ---------------------------------------------------------------------------
+
+def q_token_fertility(sf_dir: str) -> ray.data.Dataset:
+    """Per-language tokenizer-efficiency statistics: UTF-8 bytes per
+    BPE token ("compression") and BPE tokens per whitespace word
+    ("fertility") — the numbers multilingual-tokenizer reports lead
+    with, because a language with high fertility pays more of the
+    context window per word.
+
+    Scale shape: per-batch integer partial sums keyed by ``lang`` (a
+    bounded key — per CLAUDE.md's segment-kernel rule, bounded keys
+    may group directly), one tiny groupby, then two exact-integer
+    divisions floored to the 1e-6 grid.  No text leaves its batch;
+    the shuffle carries |langs| rows per batch."""
+    from ..functions.text import token_count
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        m = pa.table(
+            {
+                "lang": t["lang"],
+                "n_bytes": pc.cast(pc.binary_length(t["text"]), pa.int64()),
+                "ws": pc.cast(token_count(t["text"]), pa.int64()),
+                "bpe": pc.cast(
+                    pc.count_substring_regex(t["text"], _BPE_PRETOKEN), pa.int64()
+                ),
+            }
+        )
+        g = m.group_by("lang").aggregate(
+            [("n_bytes", "sum"), ("ws", "sum"), ("bpe", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["lang", "n_bytes", "ws", "bpe", "n_docs"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_bytes", alias_name="n_bytes"),
+            Sum("ws", alias_name="ws_tokens"),
+            Sum("bpe", alias_name="bpe_tokens"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_bytes", pa.int64()),
+            ("ws_tokens", pa.int64()),
+            ("bpe_tokens", pa.int64()),
+            ("bytes_per_token", pa.float64()),
+            ("tokens_per_word", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lang" not in t.column_names:
+            return out_schema.empty_table()
+        nb = t["n_bytes"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ws = t["ws_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bpe = t["bpe_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": t["n_docs"],
+                "n_bytes": t["n_bytes"],
+                "ws_tokens": t["ws_tokens"],
+                "bpe_tokens": t["bpe_tokens"],
+                "bytes_per_token": pa.array(np.floor(nb / bpe * 1e6) / 1e6),
+                "tokens_per_word": pa.array(np.floor(bpe / ws * 1e6) / 1e6),
+            },
+            schema=out_schema,
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q_TOKEN_FERTILITY_SQL = r"""
+WITH m AS (
+  SELECT lang,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+           AS ws,
+         CAST(len(regexp_extract_all(text,
+              '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
+           AS BIGINT) AS bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       FLOOR(CAST(SUM(n_bytes) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE) * 1000000)
+         / 1000000 AS bytes_per_token,
+       FLOOR(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) * 1000000)
+         / 1000000 AS tokens_per_word
+FROM m GROUP BY lang
+"""
