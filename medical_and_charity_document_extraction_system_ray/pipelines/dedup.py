@@ -140,6 +140,48 @@ FROM g GROUP BY cluster_size
 """
 
 
+def q_dedup_normalized(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup after text normalization — lowercase, strip
+    non-alphanumerics, collapse whitespace — the standard first rung
+    above byte-exact dedup (catches casing/punctuation near-copies
+    that byte-exact misses; CC-style pipelines run both).
+
+    Same scale shape as ``q_dedup_exact``: the normalization is a
+    per-batch vectorized RE2 pass, partials group per batch, and the
+    one shuffle moves distinct normalized keys.  Both engines run RE2
+    ``[^a-z0-9 ]`` / ``' +'`` so the key is byte-identical."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(pc.utf8_lower(t["text"]), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+        norm = pc.replace_substring_regex(norm, "^ +| +$", "")
+        m = pa.table({"norm": norm, "doc_id": t["doc_id"]})
+        return m.group_by("norm").aggregate([("doc_id", "min"), ("doc_id", "count")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("norm")
+        .aggregate(
+            Min("doc_id_min", alias_name="doc_id"),
+            Sum("doc_id_count", alias_name="n_dups"),
+        )
+        .map_batches(lambda t: t.select(["doc_id", "n_dups"]), batch_format="pyarrow")
+    )
+
+
+Q_DEDUP_NORMALIZED_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY regexp_replace(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'),
+             '^ +| +$', '', 'g')
+"""
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash signatures (vectorized)
 # ---------------------------------------------------------------------------
