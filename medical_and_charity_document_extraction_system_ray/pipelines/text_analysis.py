@@ -1627,3 +1627,133 @@ SELECT lang,
          / 1000000 AS tokens_per_word
 FROM m GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked search (Okapi, Lucene idf) — fixed-query top-k
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "hash", "merge")
+_BM25_K = 25
+
+
+def q_bm25_search(sf_dir: str) -> ray.data.Dataset:
+    """Top-k documents for a fixed term query under Okapi BM25 with
+    the Lucene idf (``ln((N-df+0.5)/(df+0.5) + 1)``, k1=1.2, b=0.75)
+    — the ranked-retrieval counterpart of ``q_conjunctive_search``.
+
+    Scale shape: pass 1 streams one 1-row partial per batch (doc
+    count, token-length sum, per-term document frequencies) into a
+    5-number global aggregate; the idf/avgdl constants are computed
+    once on the driver.  Pass 2 streams again, scores each batch
+    vectorized (bincount tf per term), keeps a LOCAL top-k per batch
+    (the combiner — the global sort sees at most k rows per batch,
+    never the corpus), then one tiny sort+limit.  Float parity: each
+    per-term score is the identical literal expression in both
+    engines and the 3 terms are summed in fixed left-to-right order
+    (the SQL writes the sum out explicitly — no join-order float
+    reassociation), floored to the 1e-6 grid; ties break on doc_id."""
+    from .training_prep import _tokens_flat
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms, k = _BM25_TERMS, _BM25_K
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, parent, n_tok = _tokens_flat(t["text"])
+        row = {
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "sum_dl": pa.array([int(n_tok.sum())], pa.int64()),
+        }
+        for j, term in enumerate(terms):
+            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            per_row = np.bincount(parent[eq], minlength=t.num_rows)
+            row[f"df{j}"] = pa.array([int((per_row > 0).sum())], pa.int64())
+        return pa.table(row)
+
+    agg = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_dl", alias_name="sum_dl"),
+            *[Sum(f"df{j}", alias_name=f"df{j}") for j in range(len(terms))],
+        )
+    )
+    n_docs = float(agg["n_docs"])
+    avgdl = float(agg["sum_dl"]) / n_docs
+    idf = [
+        np.log((n_docs - float(agg[f"df{j}"]) + 0.5) / (float(agg[f"df{j}"]) + 0.5) + 1.0)
+        for j in range(len(terms))
+    ]
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("score", pa.float64())]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, parent, n_tok = _tokens_flat(t["text"])
+        nrows = t.num_rows
+        dl = n_tok.astype(np.float64)
+        total = np.zeros(nrows, dtype=np.float64)
+        any_tf = np.zeros(nrows, dtype=bool)
+        # fixed left-to-right term order == the SQL's explicit sum
+        for j, term in enumerate(terms):
+            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parent[eq], minlength=nrows).astype(np.float64)
+            any_tf |= tf > 0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = idf[j] * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+            total = total + np.where(tf > 0, s, 0.0)
+        keep = any_tf
+        doc_id = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        sc = np.floor(total[keep] * 1e6) / 1e6
+        # local top-k combiner: same (score desc, doc_id asc) order
+        order = np.lexsort((doc_id, -sc))[:k]
+        return pa.table(
+            {"doc_id": pa.array(doc_id[order]), "score": pa.array(sc[order])},
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+Q_BM25_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(tk) AS DOUBLE) AS dl,
+         CAST(len(list_filter(tk, t -> t = 'table')) AS DOUBLE) AS tf0,
+         CAST(len(list_filter(tk, t -> t = 'hash'))  AS DOUBLE) AS tf1,
+         CAST(len(list_filter(tk, t -> t = 'merge')) AS DOUBLE) AS tf2
+  FROM tk
+), g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         CAST(COUNT(*) FILTER (tf0 > 0) AS DOUBLE) AS df0,
+         CAST(COUNT(*) FILTER (tf1 > 0) AS DOUBLE) AS df1,
+         CAST(COUNT(*) FILTER (tf2 > 0) AS DOUBLE) AS df2
+  FROM m
+)
+SELECT doc_id,
+       FLOOR((
+           (CASE WHEN tf0 > 0 THEN ln((g.n - g.df0 + 0.5) / (g.df0 + 0.5) + 1.0)
+                 * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (dl / g.avgdl)))
+                 ELSE 0.0 END)
+         + (CASE WHEN tf1 > 0 THEN ln((g.n - g.df1 + 0.5) / (g.df1 + 0.5) + 1.0)
+                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (dl / g.avgdl)))
+                 ELSE 0.0 END)
+         + (CASE WHEN tf2 > 0 THEN ln((g.n - g.df2 + 0.5) / (g.df2 + 0.5) + 1.0)
+                 * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (dl / g.avgdl)))
+                 ELSE 0.0 END)
+       ) * 1000000) / 1000000 AS score
+FROM m CROSS JOIN g
+WHERE tf0 + tf1 + tf2 > 0
+ORDER BY score DESC, doc_id
+LIMIT 25
+"""
