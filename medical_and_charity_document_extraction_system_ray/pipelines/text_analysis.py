@@ -1757,3 +1757,96 @@ WHERE tf0 + tf1 + tf2 > 0
 ORDER BY score DESC, doc_id
 LIMIT 25
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite rule filter (per-doc pass/fail with reasons)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("a", "the", "of", "to", "and")
+
+
+def q_gopher_rules(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style (Rae et al. 2021, Appendix A) composite quality
+    rules evaluated per document, each exposed as its own flag plus
+    the conjunctive ``keep`` — the filter stage of a training-data
+    pipeline, kept as *flags* rather than a filter so downstream can
+    audit rejection reasons.  Rules (thresholds adapted to this
+    corpus's 10-99-word documents): word count in [20, 80], mean word
+    length in [3, 10], digit fraction < 20%, symbol fraction < 10%,
+    at least one stopword.
+
+    Every rule is an INTEGER comparison (mean-length bounds are
+    cross-multiplied: ``3·nw <= nchars <= 10·nw``) so there is no
+    float-parity surface at all.  One vectorized pass, no shuffle;
+    at 100 TB this is embarrassingly parallel and prunes to
+    (doc_id, 6 bools) leaving the read."""
+    from ..functions.text import char_counts_nospace, digit_count, token_count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rules(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        nw = pc.cast(token_count(t["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nc = pc.cast(char_counts_nospace(t["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nd = pc.cast(digit_count(t["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nsym = pc.cast(
+            pc.count_substring_regex(t["text"], r"[^a-zA-Z0-9\s]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], " "), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        has_stop = np.zeros(t.num_rows, dtype=bool)
+        stop_hit = pc.is_in(
+            flat, value_set=pa.array(_GOPHER_STOPWORDS, pa.string())
+        ).to_numpy(zero_copy_only=False)
+        has_stop[np.unique(parent[stop_hit])] = True
+        r_words = (nw >= 20) & (nw <= 80)
+        r_mean_len = (3 * nw <= nc) & (nc <= 10 * nw)
+        r_digit = 5 * nd < nc
+        r_symbol = 10 * nsym < nw
+        keep = r_words & r_mean_len & r_digit & r_symbol & has_stop
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "r_words": pa.array(r_words),
+                "r_mean_len": pa.array(r_mean_len),
+                "r_digit": pa.array(r_digit),
+                "r_symbol": pa.array(r_symbol),
+                "r_stopword": pa.array(has_stop),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(rules, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_GOPHER_RULES_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+           AS nw,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nc,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS nd,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS nsym,
+         len(list_filter(regexp_split_to_array(trim(text, ' '), '\s+'),
+             w -> w IN ('a', 'the', 'of', 'to', 'and'))) > 0 AS has_stop
+  FROM documents
+)
+SELECT doc_id,
+       (nw >= 20 AND nw <= 80) AS r_words,
+       (3 * nw <= nc AND nc <= 10 * nw) AS r_mean_len,
+       (5 * nd < nc) AS r_digit,
+       (10 * nsym < nw) AS r_symbol,
+       has_stop AS r_stopword,
+       (nw >= 20 AND nw <= 80 AND 3 * nw <= nc AND nc <= 10 * nw
+        AND 5 * nd < nc AND 10 * nsym < nw AND has_stop) AS keep
+FROM base
+"""
