@@ -980,3 +980,158 @@ SELECT vec_id,
          AS max_abs_err
 FROM err
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: exact covariance partials -> driver eigh -> projection
+# ---------------------------------------------------------------------------
+
+def pca_fit(sf_dir: str, n_components: int = 4):
+    """Exact PCA fit via the covariance partial pass (one int64
+    ``CᵀC`` cross-moment matrix per batch, the mergeable-matrix
+    pattern of ``q_embedding_covariance``): fold the partials on the
+    driver, eigendecompose the (dim × dim) covariance there (dim=64 —
+    driver-sized by construction), and return ``(mean, components,
+    eigenvalues)`` with components sign-fixed deterministically (the
+    largest-|coordinate| entry is made positive; first index wins
+    ties).  Nothing corpus-sized touches the driver."""
+    import ray as _ray
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = list_column_matrix(t["embedding"])
+        c = np.floor(m * 1e6 + 0.5).astype(np.int64)  # 1e-6 snap grid
+        cc = c.T @ c
+        return pa.table(
+            {
+                "n": pa.array([c.shape[0]], pa.int64()),
+                "colsum": pa.array([c.sum(axis=0).tobytes()], pa.large_binary()),
+                "cross": pa.array([cc.tobytes()], pa.large_binary()),
+                "dim": pa.array([c.shape[1]], pa.int64()),
+            }
+        )
+
+    n_total, dim, colsum, cross = 0, 0, None, None
+    for row in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_rows():
+        d = int(row["dim"])
+        cs = np.frombuffer(row["colsum"], dtype=np.int64)
+        cr = np.frombuffer(row["cross"], dtype=np.int64).reshape(d, d)
+        if colsum is None:
+            dim, colsum, cross = d, cs.copy(), cr.copy()
+        else:
+            colsum += cs
+            cross += cr
+        n_total += int(row["n"])
+    n = float(n_total)
+    mean = colsum.astype(np.float64) / n / 1e6
+    cov = (
+        cross.astype(np.float64) / n
+        - np.outer(colsum.astype(np.float64) / n, colsum.astype(np.float64) / n)
+    ) / 1e12
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    evals = evals[order]
+    comps = evecs[:, order].T  # (k, dim)
+    for r in range(comps.shape[0]):  # deterministic sign
+        j = int(np.abs(comps[r]).argmax())
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
+    return mean, comps, evals, n_total
+
+
+def q_pca_project(sf_dir: str, n_components: int = 4) -> ray.data.Dataset:
+    """Project every embedding onto the top principal components,
+    long-format ``(vec_id, component, value)``.  Rows-only: the
+    eigendecomposition is not SQL-expressible — ``q_pca_check`` is the
+    value-oracled gate.  The projection pass streams: mean/components
+    broadcast once via ``ray.put``, one matmul per batch."""
+    import ray as _ray
+
+    mean, comps, _evals, _n = pca_fit(sf_dir, n_components)
+    fit_ref = _ray.put((mean, comps))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        mu, v = _ray.get(fit_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.floor(list_column_matrix(t["embedding"]) * 1e6 + 0.5) / 1e6
+        proj = (m - mu) @ v.T  # (n, k)
+        k = proj.shape[1]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, k)),
+                "component": pa.array(
+                    np.tile(np.arange(k, dtype=np.int64), len(ids))
+                ),
+                "value": pa.array(proj.reshape(-1)),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_pca_check(sf_dir: str, n_components: int = 4) -> pa.Table:
+    """Value-oracled PCA gate: point count conserved (vs SQL
+    COUNT(*)), components orthonormal, and the DISTRIBUTED variance of
+    each projected component equal to its eigenvalue (rel 1e-9) — the
+    invariant var(Xv) = λ that breaks if the partial fold, the eigh,
+    or the projection drifts.  The variance check streams sum/sumsq
+    partials per batch; nothing corpus-sized is pulled."""
+    import ray as _ray
+
+    mean, comps, evals, n_total = pca_fit(sf_dir, n_components)
+    fit_ref = _ray.put((mean, comps))
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    k = comps.shape[0]
+
+    def var_partial(t: pa.Table) -> pa.Table:
+        mu, v = _ray.get(fit_ref)
+        m = np.floor(list_column_matrix(t["embedding"]) * 1e6 + 0.5) / 1e6
+        proj = (m - mu) @ v.T
+        return pa.table(
+            {
+                "component": pa.array(np.arange(v.shape[0], dtype=np.int64)),
+                "s1": pa.array(proj.sum(axis=0)),
+                "s2": pa.array((proj**2).sum(axis=0)),
+                "n": pa.array(np.full(v.shape[0], proj.shape[0], np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        ds.map_batches(var_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("component")
+        .aggregate(
+            _Sum("s1", alias_name="s1"),
+            _Sum("s2", alias_name="s2"),
+            _Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values("component")
+    )
+    n = agg["n"].to_numpy().astype(np.float64)
+    var = agg["s2"].to_numpy() / n - (agg["s1"].to_numpy() / n) ** 2
+    var_match = bool(np.allclose(var, evals, rtol=1e-9, atol=1e-12))
+    gram = comps @ comps.T
+    orthonormal = bool(np.allclose(gram, np.eye(k), atol=1e-9))
+    return pa.table(
+        {
+            "n_points": pa.array([int(n_total)], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "orthonormal": pa.array([orthonormal], pa.bool_()),
+            "var_match": pa.array([var_match], pa.bool_()),
+        }
+    )
+
+
+Q_PCA_CHECK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points, 4 AS k,
+       TRUE AS orthonormal, TRUE AS var_match
+FROM embeddings
+"""
