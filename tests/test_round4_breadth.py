@@ -1,0 +1,211 @@
+"""Edge-semantics tests for the round-4 breadth operators (the driver
+gate value-checks them against DuckDB at sf0.01/sf0.1; these pin corner
+semantics with hand-built fixtures): DSIR target-domain preference,
+Gopher rule boundary inclusion/exclusion, BM25 tf monotonicity and
+non-match exclusion, normalized-dedup key collapse, cluster-size
+histogram shape, Kneser-Ney distinct-context counting, SemDeDup
+precision on a clustered fixture, and PCA axis recovery."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_documents(tmp_path, texts, langs=None, sources=None):
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs or ["en"] * n, pa.string()),
+            "source": pa.array(sources or ["src0"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_embeddings(tmp_path, mat, labels=None):
+    n = len(mat)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, row)) for row in mat], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels or [0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_dsir_prefers_target_like_docs(tmp_path):
+    """A doc whose bigrams match the lang='en' target slice outscores a
+    doc made of off-domain bigrams, regardless of its own lang tag."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.training_prep import (
+        q_dsir_weights,
+    )
+
+    texts = (
+        ["alpha beta alpha beta"] * 4      # en: the target domain
+        + ["gamma delta gamma delta"] * 4  # de: off-domain bulk
+        + ["alpha beta", "gamma delta"]    # two de probes
+    )
+    langs = ["en"] * 4 + ["de"] * 6
+    sf = _write_documents(tmp_path, texts, langs)
+    out = q_dsir_weights(sf).to_pandas().set_index("doc_id")
+    assert out.loc[8, "avg_logw"] > out.loc[9, "avg_logw"]
+    assert out.loc[8, "n_bigrams"] == 1
+    # single-token doc has no bigrams -> excluded
+    sf2 = _write_documents(tmp_path, ["alpha", "alpha beta"], ["en", "en"])
+    out2 = q_dsir_weights(sf2).to_pandas()
+    assert set(out2["doc_id"]) == {1}
+
+
+def test_gopher_rule_boundaries(tmp_path):
+    """Boundary semantics: nw=20 passes r_words, 19 fails; mean length
+    exactly 3 passes (<= is inclusive); digit fraction exactly 20%
+    fails (strict <)."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.text_analysis import (
+        q_gopher_rules,
+    )
+
+    texts = [
+        " ".join(["the"] + ["abc"] * 19),   # nw=20, mean len 3.0 -> pass
+        " ".join(["the"] + ["abc"] * 18),   # nw=19 -> r_words fails
+        " ".join(["the"] + ["abc"] * 17 + ["ab1"] * 2),  # 2 digits / 60 chars -> pass digit
+        " ".join(["the"] + ["a12"] * 19),   # 38/60 digits -> r_digit fails
+    ]
+    sf = _write_documents(tmp_path, texts)
+    out = q_gopher_rules(sf).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"])
+    assert not bool(out.loc[1, "r_words"]) and bool(out.loc[1, "r_mean_len"])
+    assert bool(out.loc[2, "r_digit"])
+    assert not bool(out.loc[3, "r_digit"])
+    assert bool(out.loc[0, "r_stopword"])
+
+
+def test_bm25_tf_monotone_and_exclusion(tmp_path):
+    """More query-term occurrences at equal length -> higher score;
+    docs with no query term never appear."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.text_analysis import (
+        q_bm25_search,
+    )
+
+    texts = [
+        "table table table pad pad pad",
+        "table pad pad pad pad pad",
+        "nothing relevant here at all pad",
+    ]
+    sf = _write_documents(tmp_path, texts)
+    out = q_bm25_search(sf).to_pandas().set_index("doc_id")
+    assert 2 not in out.index
+    assert out.loc[0, "score"] > out.loc[1, "score"]
+
+
+def test_dedup_normalized_collapses_case_and_punct(tmp_path):
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_dedup_normalized,
+    )
+
+    sf = _write_documents(
+        tmp_path, ["Hello, World!", "hello world", "  HELLO   world  ", "other"]
+    )
+    out = q_dedup_normalized(sf).to_pandas().sort_values("doc_id")
+    assert out["n_dups"].tolist() == [3, 1]
+    assert out["doc_id"].tolist() == [0, 3]
+
+
+def test_dup_cluster_sizes_histogram(tmp_path):
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_dup_cluster_sizes,
+    )
+
+    sf = _write_documents(tmp_path, ["a"] * 3 + ["b"] * 2 + ["c", "d"])
+    out = q_dup_cluster_sizes(sf).to_pandas().set_index("cluster_size")
+    assert out.loc[3, "n_clusters"] == 1
+    assert out.loc[2, "n_clusters"] == 1
+    assert out.loc[1, "n_clusters"] == 2
+
+
+def test_kn_continuation_distinct_contexts(tmp_path):
+    """n1p counts DISTINCT left contexts: 'b' after both 'a' and 'c'
+    scores 2 even when 'a b' repeats."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.text_analysis import (
+        q_kn_continuation,
+    )
+
+    sf = _write_documents(tmp_path, ["a b a b c b", "a b"])
+    out = q_kn_continuation(sf).to_pandas().set_index("token")
+    # bigram types: (a,b), (b,a), (b,c), (c,b) -> total 4
+    assert out.loc["b", "n1p"] == 2          # after 'a' and after 'c'
+    assert out.loc["a", "n1p"] == 1
+    assert abs(out.loc["b", "p_cont"] - 0.5) < 1e-9
+
+
+def test_semdedup_finds_clustered_pairs(tmp_path):
+    """Two tight antipodal clusters: every within-cluster pair clears
+    the threshold and SemDeDup reports it (same-cluster by
+    construction); reported pairs are a subset of the exact sweep."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_embedding_neardup,
+        q_semdedup,
+    )
+
+    rng = np.random.RandomState(7)
+    base1 = np.ones(16) / 4.0
+    base2 = -base1
+    mat = np.concatenate(
+        [
+            base1 + rng.normal(0, 0.01, (20, 16)),
+            base2 + rng.normal(0, 0.01, (20, 16)),
+        ]
+    )
+    sf = _write_embeddings(tmp_path, mat)
+    sem = q_semdedup(sf, k=2, iters=2, threshold=0.9).to_pandas()
+    exact = q_embedding_neardup(sf, threshold=0.9).to_pandas()
+    sem_set = set(zip(sem["vec_a"], sem["vec_b"]))
+    exact_set = set(zip(exact["vec_a"], exact["vec_b"]))
+    assert sem_set <= exact_set
+    assert len(exact_set) == 2 * (20 * 19 // 2)  # all within-cluster pairs
+    assert sem_set == exact_set  # tight clusters -> full recall
+
+
+def test_pca_recovers_dominant_axis(tmp_path):
+    """Variance concentrated on axis 0 -> first component is ±e0 and
+    the gate's invariants hold."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.similarity import (
+        pca_fit,
+        q_pca_check,
+        q_pca_project,
+    )
+
+    rng = np.random.RandomState(3)
+    mat = np.zeros((50, 8))
+    mat[:, 0] = rng.normal(0, 1.0, 50)
+    mat[:, 1:] = rng.normal(0, 0.01, (50, 7))
+    sf = _write_embeddings(tmp_path, mat)
+    _mean, comps, evals, n = pca_fit(sf, n_components=2)
+    assert n == 50
+    assert abs(abs(comps[0, 0]) - 1.0) < 0.01
+    assert evals[0] > 10 * evals[1]
+    check = q_pca_check(sf, n_components=2).to_pandas()
+    assert bool(check["orthonormal"].iloc[0]) and bool(check["var_match"].iloc[0])
+    proj = q_pca_project(sf, n_components=2).to_pandas()
+    assert len(proj) == 100  # 50 vectors x 2 components
+
+
+def test_token_fertility_multibyte_bytes(tmp_path):
+    """n_bytes counts UTF-8 bytes (not codepoints): a 2-byte character
+    doubles the byte count of an equal-length ASCII doc."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.text_analysis import (
+        q_token_fertility,
+    )
+
+    sf = _write_documents(tmp_path, ["aa aa", "éé éé"], langs=["en", "fr"])
+    out = q_token_fertility(sf).to_pandas().set_index("lang")
+    assert out.loc["en", "n_bytes"] == 5
+    assert out.loc["fr", "n_bytes"] == 9  # 4 x 2-byte é + 1 space
+    assert out.loc["en", "ws_tokens"] == 2
