@@ -1135,3 +1135,99 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_points, 4 AS k,
        TRUE AS orthonormal, TRUE AS var_match
 FROM embeddings
 """
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training prep)
+# ---------------------------------------------------------------------------
+
+def q_hard_negatives(
+    sf_dir: str, n_anchors: int = 8, k: int = 5
+) -> ray.data.Dataset:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector (``vec_id < n_anchors``), the ``k`` most-cosine-similar
+    vectors with a DIFFERENT label — the negatives that sit closest to
+    the decision boundary and teach a contrastive model the most.
+
+    Scale shape: the anchor matrix (n_anchors × dim + labels) is
+    broadcast once via ``ray.put``; each batch computes one
+    (batch × anchors) matmul, masks same-label columns, and keeps a
+    LOCAL top-k per anchor (the combiner), so the one bounded-key
+    groupby sees k rows per anchor per batch, never the corpus.
+    Cosines are floored to the 1e-6(+1e-3) grid BEFORE ranking; ties
+    break on the negative's vec_id — both identical in the SQL."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    anchors = (
+        ds.filter(expr=f"vec_id < {n_anchors}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    a_ids = anchors["vec_id"].to_numpy().astype(np.int64)
+    a_mat = np.stack([np.asarray(v, np.float64) for v in anchors["embedding"]])
+    a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+    a_lab = anchors["label"].to_numpy().astype(np.int64)
+    a_ref = ray.put((a_ids, a_mat, a_lab))
+
+    out_schema = pa.schema(
+        [
+            ("anchor", pa.int64()),
+            ("neg", pa.int64()),
+            ("cosine", pa.float64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_a, mat_a, lab_a = ray.get(a_ref)
+        ids, mat = _matrix(t)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = mat @ mat_a.T  # (batch, anchors); _matrix normalizes rows
+        sims = np.floor(sims * 1e6 + 1e-3) / 1e6
+        outs = []
+        for j in range(len(ids_a)):
+            mask = lab != lab_a[j]
+            cand_ids, cand = ids[mask], sims[mask, j]
+            order = np.lexsort((cand_ids, -cand))[:k]
+            outs.append(
+                pa.table(
+                    {
+                        "anchor": pa.array(
+                            np.full(len(order), ids_a[j], np.int64)
+                        ),
+                        "neg": pa.array(cand_ids[order].astype(np.int64)),
+                        "cosine": pa.array(cand[order]),
+                    },
+                    schema=out_schema,
+                )
+            )
+        return pa.concat_tables(outs) if outs else out_schema.empty_table()
+
+    def topk_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "anchor" not in t.column_names:
+            return out_schema.empty_table()
+        cand_ids = t["neg"].to_numpy(zero_copy_only=False)
+        cand = t["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cand_ids, -cand))[:k]
+        return t.take(order)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("anchor")  # bounded key: n_anchors groups
+        .map_groups(topk_group, batch_format="pyarrow")
+    )
+
+
+Q_HARD_NEGATIVES_SQL = """
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT q.vec_id AS anchor, e.vec_id AS neg,
+         FLOOR(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v)
+               * 1000000 + 0.001) / 1000000 AS cosine
+  FROM q JOIN embeddings e ON e.label <> q.label
+)
+SELECT anchor, neg, cosine
+FROM c
+QUALIFY row_number() OVER (PARTITION BY anchor ORDER BY cosine DESC, neg) <= 5
+"""
