@@ -187,6 +187,11 @@ def run_bench() -> dict:
         "kmeans_clusters": similarity.q_kmeans_clusters,
         "segment_dedup": cleaning.q_segment_dedup,
         "cdc_dedup": cleaning.q_cdc_dedup,
+        # round-4 additions (marked "new" vs r03)
+        "dsir_weights": training_prep.q_dsir_weights,
+        "semdedup": dedup.q_semdedup,
+        "bm25_search": text_analysis.q_bm25_search,
+        "gopher_rules": text_analysis.q_gopher_rules,
     }
     # paired A/B: two interleaved passes over the whole subset in the
     # same session.  The shared host drifts ±25-50% within minutes, so a

@@ -1231,3 +1231,121 @@ SELECT anchor, neg, cosine
 FROM c
 QUALIFY row_number() OVER (PARTITION BY anchor ORDER BY cosine DESC, neg) <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality eval (recall@k / first-relevant-rank per anchor)
+# ---------------------------------------------------------------------------
+
+def q_retrieval_eval(
+    sf_dir: str, n_anchors: int = 16, k: int = 10
+) -> ray.data.Dataset:
+    """Embedding retrieval eval harness: for each anchor (``vec_id <
+    n_anchors``) take its cosine top-``k`` neighbours (self excluded)
+    and score them against the ground-truth ``label`` column —
+    ``n_hits`` (same-label neighbours in the top-k, the recall@k
+    numerator) and ``first_rank`` (1-based rank of the first relevant
+    hit; 0 if none — the reciprocal-rank numerator).  All-integer
+    outputs: no float-parity surface beyond the shared cosine grid.
+
+    Scale shape: anchors broadcast once via ``ray.put``; one
+    (batch × anchors) matmul per batch with a LOCAL top-k combiner, a
+    bounded-key groupby re-ranks k·n_batches candidate rows, and the
+    eval arithmetic runs on the k winners.  Cosines are floored to the
+    1e-6(+1e-3) grid BEFORE ranking, ties break on vec_id — identical
+    in the SQL's QUALIFY window."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    anchors = (
+        ds.filter(expr=f"vec_id < {n_anchors}").to_pandas().sort_values("vec_id")
+    )
+    a_ids = anchors["vec_id"].to_numpy().astype(np.int64)
+    a_mat = np.stack([np.asarray(v, np.float64) for v in anchors["embedding"]])
+    a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+    a_lab = anchors["label"].to_numpy().astype(np.int64)
+    a_ref = ray.put((a_ids, a_mat, a_lab))
+
+    cand_schema = pa.schema(
+        [
+            ("anchor", pa.int64()),
+            ("neighbor", pa.int64()),
+            ("cosine", pa.float64()),
+            ("relevant", pa.bool_()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_a, mat_a, lab_a = ray.get(a_ref)
+        ids, mat = _matrix(t)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = np.floor((mat @ mat_a.T) * 1e6 + 1e-3) / 1e6
+        outs = []
+        for j in range(len(ids_a)):
+            mask = ids != ids_a[j]  # self excluded
+            cand_ids, cand, cand_lab = ids[mask], sims[mask, j], lab[mask]
+            order = np.lexsort((cand_ids, -cand))[:k]
+            outs.append(
+                pa.table(
+                    {
+                        "anchor": pa.array(np.full(len(order), ids_a[j], np.int64)),
+                        "neighbor": pa.array(cand_ids[order].astype(np.int64)),
+                        "cosine": pa.array(cand[order]),
+                        "relevant": pa.array(cand_lab[order] == lab_a[j]),
+                    },
+                    schema=cand_schema,
+                )
+            )
+        return pa.concat_tables(outs) if outs else cand_schema.empty_table()
+
+    out_schema = pa.schema(
+        [("anchor", pa.int64()), ("n_hits", pa.int64()), ("first_rank", pa.int64())]
+    )
+
+    def evaluate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "anchor" not in t.column_names:
+            return out_schema.empty_table()
+        cand_ids = t["neighbor"].to_numpy(zero_copy_only=False)
+        cand = t["cosine"].to_numpy(zero_copy_only=False)
+        rel = t["relevant"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cand_ids, -cand))[:k]
+        rel_top = rel[order]
+        hits = int(rel_top.sum())
+        first = int(np.flatnonzero(rel_top)[0]) + 1 if hits else 0
+        return pa.table(
+            {
+                "anchor": pa.array([int(t["anchor"][0].as_py())], pa.int64()),
+                "n_hits": pa.array([hits], pa.int64()),
+                "first_rank": pa.array([first], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("anchor")  # bounded key: n_anchors groups
+        .map_groups(evaluate, batch_format="pyarrow")
+    )
+
+
+Q_RETRIEVAL_EVAL_SQL = """
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings WHERE vec_id < 16
+), ranked AS (
+  SELECT q.vec_id AS anchor,
+         (e.label = q.label) AS relevant,
+         row_number() OVER w AS rnk
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WINDOW w AS (
+    PARTITION BY q.vec_id
+    ORDER BY FLOOR(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v)
+                   * 1000000 + 0.001) / 1000000 DESC, e.vec_id
+  )
+  QUALIFY rnk <= 10
+)
+SELECT anchor,
+       CAST(SUM(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(COALESCE(MIN(CASE WHEN relevant THEN rnk END), 0) AS BIGINT)
+         AS first_rank
+FROM ranked GROUP BY anchor
+"""

@@ -26,6 +26,8 @@ ROWS_ONLY = {
     "image_phash_neardup",
     "hll_overlap",
     "audio_fp_neardup",
+    "semdedup",
+    "pca_project",
 }
 
 
@@ -40,7 +42,8 @@ def test_oracle_keys_cover_queries():
     for gate in ("approx_distinct_check", "knn_ivf_recall", "knn_pq_recall",
                  "media_features_geometry", "page_regions_check",
                  "heavy_hitters_check", "hll_check", "kmeans_check", "cms_check",
-                 "image_phash_check", "hll_overlap_check", "audio_fp_check"):
+                 "image_phash_check", "hll_overlap_check", "audio_fp_check",
+                 "semdedup_check", "pca_check"):
         assert gate in o, f"missing companion gate {gate}"
 
 
