@@ -2393,3 +2393,169 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring fraction (ExactSubstr-lite, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_DSF_W = 16  # window length in codepoints
+
+
+def q_dup_substring_fraction(sf_dir: str) -> ray.data.Dataset:
+    """Per-document fraction of fixed-length (16-codepoint) substring
+    windows that also appear in ANOTHER document — the cheap
+    stride-1 flavor of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    high fraction marks a document assembled from corpus boilerplate
+    even when no full-text dedup key matches.
+
+    Scale shape: windows are sliced per batch with ONE vectorized
+    ``utf8_slice_codeunits`` per offset (a doc never leaves its
+    batch), deduplicated per doc by an Arrow group_by so the one
+    shuffle moves distinct (window, doc_id, n_positions) rows — ~35 B
+    each, never documents.  Cross-doc resolution uses the repo's
+    coarse-bucket rule (CLAUDE.md): shuffle on ``hash(window) % 64``,
+    ONE Arrow sort per bucket group, flat run-boundary masks mark
+    windows spanning >= 2 docs.  Per-doc totals and dup counts merge
+    via a union + doc_id groupby (no join).  At 100 TB swap stride 1
+    for the paper's stride-k sampling by slicing every k-th offset —
+    the plumbing is identical."""
+    from ..functions.segments import bucket_grouped_str
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    w = _DSF_W
+
+    acc_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_windows", pa.int64()), ("n_dup", pa.int64())]
+    )
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lens = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        max_off = int(max(lens.max() - w + 1, 0)) if len(lens) else 0
+        parts = []
+        for i in range(max_off):
+            valid = lens >= i + w
+            if not valid.any():
+                break
+            sub = pc.utf8_slice_codeunits(t["text"], i, i + w)
+            parts.append(
+                pa.table(
+                    {
+                        "window": sub.filter(pa.array(valid)),
+                        "doc_id": t["doc_id"].filter(pa.array(valid)),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "window": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "npos": pa.array([], pa.int64()),
+                }
+            )
+        flat = pa.concat_tables(parts)
+        g = flat.group_by(["window", "doc_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["window", "doc_id", "npos"])
+
+    pairs = ds.map_batches(emit_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "window" not in t.column_names:
+            return acc_schema.empty_table()
+        t = t.take(pc.sort_indices(t, sort_keys=[("window", "ascending")]))
+        win = t["window"].combine_chunks()
+        neq = pc.not_equal(
+            win.slice(1), win.slice(0, len(win) - 1)
+        ).to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], neq])
+        run_of = np.cumsum(new) - 1
+        lengths = np.bincount(run_of)
+        keep = lengths[run_of] >= 2  # window present in >= 2 docs
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "n_windows": pa.array(np.zeros(int(keep.sum()), np.int64)),
+                "n_dup": pc.cast(t["npos"], pa.int64()).filter(pa.array(keep)),
+            },
+            schema=acc_schema,
+        )
+
+    dups = bucket_grouped_str(pairs, "window").map_groups(
+        resolve, batch_format="pyarrow"
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        nw = np.maximum(lens.astype(np.int64) - (w - 1), 0)
+        keep = nw > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "n_windows": pa.array(nw[keep]),
+                "n_dup": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            },
+            schema=acc_schema,
+        )
+
+    tot = ds.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_windows", pa.int64()),
+            ("n_dup_positions", pa.int64()),
+            ("dup_frac", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return out_schema.empty_table()
+        nw = t["n_windows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_windows": pa.array(nw),
+                "n_dup_positions": pa.array(nd),
+                "dup_frac": pa.array(
+                    np.floor(nd / nw.astype(np.float64) * 1e6) / 1e6
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        tot.union(dups)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_windows", alias_name="n_windows"),
+            Sum("n_dup", alias_name="n_dup"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+Q_DUP_SUBSTR_SQL = """
+WITH w AS (
+  SELECT doc_id, substring(text, i, 16) AS win, COUNT(*) AS npos
+  FROM (SELECT doc_id, text, UNNEST(range(1, length(text) - 14)) AS i
+        FROM documents WHERE length(text) >= 16)
+  GROUP BY 1, 2
+), d AS (
+  SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2
+), s AS (
+  SELECT w.doc_id, SUM(w.npos) AS n_dup FROM w JOIN d USING (win)
+  GROUP BY w.doc_id
+)
+SELECT t.doc_id,
+       CAST(length(t.text) - 15 AS BIGINT) AS n_windows,
+       CAST(COALESCE(s.n_dup, 0) AS BIGINT) AS n_dup_positions,
+       FLOOR(COALESCE(s.n_dup, 0) / CAST(length(t.text) - 15 AS DOUBLE)
+             * 1000000) / 1000000 AS dup_frac
+FROM documents t LEFT JOIN s USING (doc_id)
+WHERE length(t.text) >= 16
+"""

@@ -1850,3 +1850,74 @@ SELECT doc_id,
         AND 5 * nd < nc AND 10 * nsym < nw AND has_stop) AS keep
 FROM base
 """
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading ease (classic readability quality signal)
+# ---------------------------------------------------------------------------
+
+def q_flesch_scores(sf_dir: str) -> ray.data.Dataset:
+    """Flesch reading ease per document: ``206.835 - 1.015·(words /
+    sentences) - 84.6·(syllables / words)`` with the standard cheap
+    syllable proxy (vowel-group count, RE2 ``[aeiouyAEIOUY]+`` — the
+    same approximation production readability filters use) and
+    sentences = max(1, terminal-punctuation runs).
+
+    Zero shuffle, one vectorized pass; the three counts are exact
+    integers, the formula is evaluated in the identical literal
+    left-to-right order in both engines and floored to the 1e-6
+    grid.  Zero-word documents are excluded (no rows on the SQL
+    side either)."""
+    from ..functions.text import token_count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        w = pc.cast(token_count(t["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        syl = pc.cast(
+            pc.count_substring_regex(t["text"], r"[aeiouyAEIOUY]+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        sent = pc.cast(
+            pc.count_substring_regex(t["text"], r"[.!?]+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        sent = np.maximum(sent, 1)
+        keep = w > 0
+        wf = w[keep].astype(np.float64)
+        sf = sent[keep].astype(np.float64)
+        yf = syl[keep].astype(np.float64)
+        flesch = 206.835 - 1.015 * (wf / sf) - 84.6 * (yf / wf)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                "n_words": pa.array(w[keep]),
+                "n_syllables": pa.array(syl[keep]),
+                "n_sentences": pa.array(sent[keep]),
+                "flesch": pa.array(np.floor(flesch * 1e6) / 1e6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_FLESCH_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+           AS n_syllables,
+         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+           AS n_sentences
+  FROM documents
+)
+SELECT doc_id, n_words, n_syllables, n_sentences,
+       FLOOR((206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+             * 1000000) / 1000000 AS flesch
+FROM base WHERE n_words > 0
+"""
