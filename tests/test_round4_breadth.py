@@ -209,3 +209,89 @@ def test_token_fertility_multibyte_bytes(tmp_path):
     assert out.loc["en", "n_bytes"] == 5
     assert out.loc["fr", "n_bytes"] == 9  # 4 x 2-byte é + 1 space
     assert out.loc["en", "ws_tokens"] == 2
+
+
+def test_flesch_known_value(tmp_path):
+    """'the cat sat on a mat' -> 6 words, 6 vowel groups, 1 sentence
+    (no terminal punctuation -> floor of 1): 206.835 - 1.015*6 - 84.6*1."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.text_analysis import (
+        q_flesch_scores,
+    )
+
+    sf = _write_documents(tmp_path, ["the cat sat on a mat", ""])
+    out = q_flesch_scores(sf).to_pandas()
+    assert out["doc_id"].tolist() == [0]  # zero-word doc excluded
+    row = out.iloc[0]
+    assert row["n_words"] == 6 and row["n_syllables"] == 6
+    assert row["n_sentences"] == 1
+    want = 206.835 - 1.015 * 6.0 - 84.6 * 1.0
+    assert abs(row["flesch"] - np.floor(want * 1e6) / 1e6) < 1e-9
+
+
+def test_dup_substring_fraction_shared_run(tmp_path):
+    """Two docs sharing a 20-char prefix have duplicated windows from
+    that run; a disjoint doc reports 0."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_dup_substring_fraction,
+    )
+
+    shared = "abcdefghijklmnopqrst"  # 20 chars + the following space
+    sf = _write_documents(
+        tmp_path,
+        [shared + " one tail here", shared + " two other tail", "zz" * 20],
+    )
+    out = q_dup_substring_fraction(sf).to_pandas().set_index("doc_id")
+    # offsets 0..5 share their window (the space after the prefix is
+    # shared too; offset 6 first sees 'o' vs 't') -> 6 dup positions
+    assert out.loc[0, "n_dup_positions"] == 6
+    assert out.loc[1, "n_dup_positions"] == 6
+    assert out.loc[2, "n_dup_positions"] == 0
+    assert out.loc[2, "dup_frac"] == 0.0
+    assert out.loc[0, "n_windows"] == len(shared + " one tail here") - 15
+
+
+def test_hard_negatives_nearest_other_label(tmp_path):
+    """The top negative for anchor 0 is the different-label vector
+    closest in angle, never a same-label one."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.similarity import (
+        q_hard_negatives,
+    )
+
+    e = np.eye(8)
+    mat = np.stack(
+        [
+            e[0],                      # 0: anchor, label 0
+            e[0] * 0.9 + e[1] * 0.1,   # 1: label 0 (same -> excluded)
+            e[0] * 0.8 + e[1] * 0.2,   # 2: label 1, closest negative
+            e[1],                      # 3: label 1, orthogonal
+        ]
+    )
+    sf = _write_embeddings(tmp_path, mat, labels=[0, 0, 1, 1])
+    out = q_hard_negatives(sf, n_anchors=1, k=2).to_pandas()
+    assert set(out["anchor"]) == {0}
+    ranked = out.sort_values("cosine", ascending=False)["neg"].tolist()
+    assert ranked == [2, 3]
+    assert 1 not in set(out["neg"])
+
+
+def test_retrieval_eval_ranks(tmp_path):
+    """Anchor 0's top-2 neighbours: the same-label vector at rank 1 ->
+    n_hits counts it, first_rank = 1; an anchor whose neighbours are
+    all other-label gets first_rank 0."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.similarity import (
+        q_retrieval_eval,
+    )
+
+    e = np.eye(8)
+    mat = np.stack(
+        [
+            e[0],
+            e[0] * 0.95 + e[1] * 0.05,  # same label as 0, nearest
+            e[0] * 0.7 + e[1] * 0.3,    # other label
+            e[2],                        # orthogonal filler
+        ]
+    )
+    sf = _write_embeddings(tmp_path, mat, labels=[0, 0, 1, 2])
+    out = q_retrieval_eval(sf, n_anchors=1, k=2).to_pandas().set_index("anchor")
+    assert out.loc[0, "n_hits"] == 1
+    assert out.loc[0, "first_rank"] == 1
