@@ -1921,3 +1921,80 @@ SELECT doc_id, n_words, n_syllables, n_sentences,
              * 1000000) / 1000000 AS flesch
 FROM base WHERE n_words > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope (corpus token-frequency power-law exponent)
+# ---------------------------------------------------------------------------
+
+def q_zipf_slope(sf_dir: str, top_n: int = 1000) -> pa.Table:
+    """OLS slope of ln(frequency) on ln(rank) over the corpus's top
+    tokens — the Zipf exponent (natural text ≈ -1; word-salad or
+    boilerplate-heavy corpora drift toward 0).  A standard one-number
+    corpus health statistic for training-data reports.
+
+    Scale shape: per-batch token-count partials → one vocabulary
+    groupby → top-N by (count desc, token) with a sort that only ever
+    sees the distinct-token table; only the N-row rank table reaches
+    the driver.  The rank/ln/OLS arithmetic happens once on N rows;
+    the SQL oracle computes the identical expression from the same
+    BIGINT counts (the 1e-6(+1e-3) grid absorbs SUM-order ulps)."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], " "), r"\s+")
+        flat = pa.table({"token": pc.list_flatten(toks)})
+        flat = flat.filter(pc.not_equal(flat["token"], ""))
+        g = flat.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "n"])
+
+    top = (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(top_n)
+        .to_pandas()
+    )
+    cnt = top["n"].to_numpy().astype(np.float64)
+    n_terms = len(cnt)
+    x = np.log(np.arange(1, n_terms + 1, dtype=np.float64))
+    y = np.log(cnt)
+    n = float(n_terms)
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    grid = lambda v: float(np.floor(v * 1e6 + 1e-3) / 1e6)
+    return pa.table(
+        {
+            "n_terms": pa.array([n_terms], pa.int64()),
+            "slope": pa.array([grid(slope)], pa.float64()),
+            "intercept": pa.array([grid(intercept)], pa.float64()),
+        }
+    )
+
+
+Q_ZIPF_SQL = r"""
+WITH tok AS (
+  SELECT UNNEST(list_filter(regexp_split_to_array(trim(text, ' '), '\s+'),
+                w -> w <> '')) AS token
+  FROM documents
+), cnts AS (
+  SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+  ORDER BY n DESC, token LIMIT 1000
+), r AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM cnts
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000 + 0.001)
+         / 1000000 AS slope,
+       FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             * 1000000 + 0.001) / 1000000 AS intercept
+FROM s
+"""
