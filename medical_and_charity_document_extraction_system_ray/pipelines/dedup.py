@@ -2559,3 +2559,131 @@ SELECT t.doc_id,
 FROM documents t LEFT JOIN s USING (doc_id)
 WHERE length(t.text) >= 16
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (SQL-matched)
+# ---------------------------------------------------------------------------
+
+_XSRC_SCHEMA = pa.schema(
+    [
+        pa.field("source_a", pa.string()),
+        pa.field("source_b", pa.string()),
+        pa.field("dup_pairs", pa.int64()),
+    ]
+)
+
+
+def q_cross_source_dup_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-provenance diagnostic: for every unordered source pair
+    ``(source_a <= source_b)``, the number of exact-duplicate document
+    pairs whose two copies live in those sources (same-source pairs are
+    ``C(c, 2)`` per duplicated text).  Web-curation use: a hot
+    off-diagonal cell means two crawls/feeds overlap and one should be
+    dropped before training-data mixing.
+
+    Scale shape (100 TB): texts never leave their batch — each batch
+    collapses to ``(text_hash, source, count)`` partials (fingerprint64,
+    the same Horner hash the SQL oracle family uses; a collision would
+    surface as a gate mismatch), the one shuffle moves those ~24 B rows
+    keyed by ``hash % 64`` coarse buckets, and each bucket group resolves
+    pair counts fully vectorized: lexsort, run-collapse, then one dense
+    ``M.T @ M`` over a (runs x sources) count matrix — sources are a
+    bounded key set, so the matmul side is tiny.  The final groupby is
+    over <= S^2 source-pair keys.  No driver materialization."""
+    from ..functions.text import fingerprint64
+
+    ds = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = fingerprint64(t["text"].combine_chunks() if isinstance(
+            t["text"], pa.ChunkedArray) else t["text"]).view(np.int64)
+        g = pa.table(
+            {"h": pa.array(h, pa.int64()), "source": t["source"]}
+        ).group_by(["h", "source"]).aggregate([("h", "count")])
+        h2 = g["h"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (h2.view(np.uint64) % np.uint64(_COARSE_BUCKETS)).astype(
+                        np.int64
+                    )
+                ),
+                "h": g["h"],
+                "source": g["source"],
+                "c": pc.cast(g["h_count"], pa.int64()),
+            }
+        )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        src = np.asarray(t["source"].to_numpy(zero_copy_only=False), dtype=object)
+        u, codes = np.unique(src, return_inverse=True)
+        order = np.lexsort((codes, h))
+        h, c, codes = h[order], c[order], codes[order]
+        # collapse duplicate (h, source) rows from different batches
+        bnd = np.concatenate([[True], (h[1:] != h[:-1]) | (codes[1:] != codes[:-1])])
+        idx = np.flatnonzero(bnd)
+        c = np.add.reduceat(c, idx)
+        h, codes = h[idx], codes[idx]
+        # runs of equal text hash; keep only runs that can produce pairs
+        hb = np.concatenate([[True], h[1:] != h[:-1]])
+        run_id = np.cumsum(hb) - 1
+        n_runs = run_id[-1] + 1 if h.size else 0
+        rows_per_run = np.bincount(run_id, minlength=n_runs)
+        dup_possible = (rows_per_run[run_id] > 1) | (c > 1)
+        codes_k, c_k = codes[dup_possible], c[dup_possible]
+        run_k = run_id[dup_possible]
+        if run_k.size:
+            # re-densify kept run ids, scatter counts into (runs x S)
+            _, run_dense = np.unique(run_k, return_inverse=True)
+            M = np.zeros((run_dense.max() + 1, u.size), dtype=np.int64)
+            np.add.at(M, (run_dense, codes_k), c_k)
+            cross = M.T @ M
+            same = ((M * (M - 1)) // 2).sum(axis=0)
+        else:
+            cross = np.zeros((u.size, u.size), np.int64)
+            same = np.zeros(u.size, np.int64)
+        a_i, b_i = np.triu_indices(u.size, k=1)
+        keep = cross[a_i, b_i] > 0
+        sa = list(u[a_i[keep]]) + list(u[same > 0])
+        sb = list(u[b_i[keep]]) + list(u[same > 0])
+        p = np.concatenate([cross[a_i[keep], b_i[keep]], same[same > 0]])
+        return pa.table(
+            {
+                "source_a": pa.array(sa, pa.string()),
+                "source_b": pa.array(sb, pa.string()),
+                "pairs": pa.array(p, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_bucket = partials.groupby("bucket").map_groups(
+        resolve, batch_format="pyarrow"
+    )
+    agg = per_bucket.groupby(["source_a", "source_b"]).aggregate(
+        Sum("pairs", alias_name="dup_pairs")
+    )
+    # sf0.01 has no exact-dup pairs at all: pin the empty-result schema
+    # (Ray reports the upstream groupby's zero-column blocks otherwise)
+    if agg.count() == 0:
+        return ray.data.from_arrow(_XSRC_SCHEMA.empty_table())
+    return agg.map_batches(_with_schema(_XSRC_SCHEMA), batch_format="pyarrow")
+
+
+Q_CROSS_SOURCE_DUP_SQL = """
+WITH g AS (
+  SELECT text, source, COUNT(*) AS c FROM documents GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(CASE WHEN a.source = b.source
+                     THEN a.c * (a.c - 1) // 2
+                     ELSE a.c * b.c END) AS BIGINT) AS dup_pairs
+FROM g a JOIN g b ON a.text = b.text AND a.source <= b.source
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN a.source = b.source
+                THEN a.c * (a.c - 1) // 2
+                ELSE a.c * b.c END) > 0
+ORDER BY 1, 2
+"""

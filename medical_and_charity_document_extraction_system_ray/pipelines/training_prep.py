@@ -692,3 +692,85 @@ SELECT bk.doc_id,
 FROM bk JOIN lr USING (bucket)
 GROUP BY bk.doc_id
 """
+
+
+def q_domain_cap(sf_dir: str, cap: int = 15) -> ray.data.Dataset:
+    """Per-source document cap (the web-curation "domain cap": no single
+    domain/feed may contribute more than ``cap`` documents to the
+    training mix).  Selection is deterministic — the ``cap`` smallest
+    values of the codepoint-Horner hash of the doc id (ties broken by
+    doc_id) — so it is a reproducible uniform subsample per source, not
+    materialized randomness.  Emits ``(source, doc_id, rn)`` with
+    ``rn`` = 1-based rank within the source.
+
+    Scale shape (100 TB): bottom-k per key is a mergeable sketch.  Each
+    batch keeps its local ``cap`` smallest (hash, doc_id) per source
+    (sources are a bounded key set), so the one shuffle carries at most
+    ``cap x sources`` 24-byte rows per input block; the bounded-key
+    ``groupby(source)`` merge then handles ``cap x blocks`` candidates
+    per group, never the corpus.  Document text never leaves storage
+    (the read prunes to two columns)."""
+    from ..functions.text import fingerprint64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        hs = fingerprint64(ids).view(np.int64)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = np.asarray(t["source"].to_numpy(zero_copy_only=False), dtype=object)
+        _, codes = np.unique(src, return_inverse=True)
+        order = np.lexsort((doc, hs, codes))
+        codes_s = codes[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        )
+        lens = np.diff(np.concatenate([starts, [codes_s.size]]))
+        pos = np.arange(codes_s.size) - np.repeat(starts, lens)
+        kept = order[pos < cap]
+        return pa.table(
+            {
+                "source": pa.array(src[kept], pa.string()),
+                "doc_id": pa.array(doc[kept], pa.int64()),
+                "hs": pa.array(hs[kept], pa.int64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        hs = t["hs"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, hs))[:cap]
+        return pa.table(
+            {
+                "source": t["source"].take(pa.array(order)),
+                "doc_id": pa.array(doc[order], pa.int64()),
+                "rn": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
+            }
+        )
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.groupby("source").map_groups(final, batch_format="pyarrow")
+
+
+# The signed CASE maps the hugeint Horner hash onto the same two's-
+# complement int64 ordering numpy's .view(int64) produces, so both
+# engines rank identically.
+Q_DOMAIN_CAP_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+                            i -> unicode((CAST(doc_id AS VARCHAR))[i]))),
+             (a, x) -> (a * 1099511628211 + x) % 18446744073709551616) AS hu
+  FROM documents
+)
+SELECT source, doc_id,
+       row_number() OVER (
+         PARTITION BY source
+         ORDER BY CAST(CASE WHEN hu >= 9223372036854775808
+                            THEN hu - 18446744073709551616
+                            ELSE hu END AS BIGINT), doc_id) AS rn
+FROM h
+QUALIFY rn <= 15
+ORDER BY source, rn
+"""

@@ -295,3 +295,59 @@ def test_retrieval_eval_ranks(tmp_path):
     out = q_retrieval_eval(sf, n_anchors=1, k=2).to_pandas().set_index("anchor")
     assert out.loc[0, "n_hits"] == 1
     assert out.loc[0, "first_rank"] == 1
+
+
+def test_domain_cap_bottom_k_by_hash(tmp_path):
+    """One source, 30 docs, cap 15: exactly the 15 smallest signed
+    fingerprint64(doc_id) values survive, ranked 1..15."""
+    import pyarrow.compute as pc
+
+    from medical_and_charity_document_extraction_system_ray.functions.text import (
+        fingerprint64,
+    )
+    from medical_and_charity_document_extraction_system_ray.pipelines.training_prep import (
+        q_domain_cap,
+    )
+
+    sf = _write_documents(tmp_path, [f"doc number {i}" for i in range(30)])
+    out = q_domain_cap(sf).to_pandas().sort_values("rn")
+    assert len(out) == 15
+    assert list(out["rn"]) == list(range(1, 16))
+    ids = pa.array([str(i) for i in range(30)], pa.string())
+    hs = fingerprint64(ids).view(np.int64)
+    expect = [d for _, d in sorted(zip(hs, range(30)))][:15]
+    assert sorted(out["doc_id"]) == sorted(expect)
+    # rank order follows the hash order exactly
+    assert list(out["doc_id"]) == expect
+
+
+def test_cross_source_dup_matrix_counts(tmp_path):
+    """text 'a' in s1 x1 + s2 x2 -> (s1,s2)=2 cross pairs and
+    (s2,s2)=1 same-source pair; text 'b' in s1+s3 -> (s1,s3)=1;
+    unique text 'c' contributes nothing."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_cross_source_dup_matrix,
+    )
+
+    sf = _write_documents(
+        tmp_path,
+        ["a", "a", "a", "b", "b", "c"],
+        sources=["s1", "s2", "s2", "s1", "s3", "s1"],
+    )
+    out = q_cross_source_dup_matrix(sf).to_pandas()
+    got = {
+        (r.source_a, r.source_b): r.dup_pairs for r in out.itertuples()
+    }
+    assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s2"): 1}
+
+
+def test_cross_source_dup_matrix_empty_schema(tmp_path):
+    """All-unique corpus: zero rows but the pinned 3-column schema."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        q_cross_source_dup_matrix,
+    )
+
+    sf = _write_documents(tmp_path, ["x", "y", "z"], sources=["s1", "s2", "s3"])
+    ds = q_cross_source_dup_matrix(sf)
+    assert ds.count() == 0
+    assert ds.schema().names == ["source_a", "source_b", "dup_pairs"]
