@@ -781,3 +781,115 @@ def q_salted_distinct_users(sf_dir: str, salts: int = 16) -> ray.data.Dataset:
 
 
 Q_SALTED_DISTINCT_SQL = Q_DISTINCT_USERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary (deterministic thinned eps-summary) + gate
+# ---------------------------------------------------------------------------
+
+_AQ_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _quantile_summary(sf_dir: str, eps: float):
+    """One streaming pass over ``lineitem.l_extendedprice``: each block
+    sorts locally and keeps every k-th value (k = eps * block_rows) as
+    a weight-k representative plus a weighted tail max — the classic
+    deterministic mergeable eps-approximation (Munro-Paterson family).
+    Rank error contributed by a block is < k <= eps * block_rows, so
+    the union's error is < eps * n regardless of block count, and the
+    summary is ~1/eps rows per block (the ONLY data the driver sees)."""
+
+    def thin(t: pa.Table) -> pa.Table:
+        v = np.sort(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        n = v.size
+        k = max(1, int(eps * n))
+        idx = np.arange(k - 1, n, k)
+        reps = v[idx]
+        w = np.full(idx.size, k, np.int64)
+        rem = n - idx.size * k
+        if rem:
+            reps = np.append(reps, v[-1])
+            w = np.append(w, rem)
+        return pa.table({"v": pa.array(reps, pa.float64()), "w": pa.array(w)})
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    summ = ds.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    order = np.lexsort((summ["w"].to_numpy(), summ["v"].to_numpy()))
+    v = summ["v"].to_numpy()[order]
+    cum = np.cumsum(summ["w"].to_numpy()[order])
+    n = int(cum[-1]) if cum.size else 0
+    return v, cum, n
+
+
+def q_approx_quantiles(sf_dir: str, eps: float = 0.02) -> pa.Table:
+    """Approximate quantiles of ``l_extendedprice`` from the mergeable
+    thinned summary (rows-only: the estimates are data values whose
+    exact ranks are asserted by ``q_approx_quantiles_check``)."""
+    v, cum, n = _quantile_summary(sf_dir, eps)
+    ests = []
+    for q in _AQ_QS:
+        target = max(1, int(np.ceil(q * n)))
+        i = min(int(np.searchsorted(cum, target)), v.size - 1)
+        ests.append(float(v[i]))
+    return pa.table(
+        {
+            "q": pa.array(list(_AQ_QS), pa.float64()),
+            "est": pa.array(ests, pa.float64()),
+        }
+    )
+
+
+def q_approx_quantiles_check(
+    sf_dir: str, eps: float = 0.02, tolerance: float = 0.05
+) -> pa.Table:
+    """Accuracy gate: for each estimate v_q, one exact streaming rank
+    pass computes ``count(< v_q)`` / ``count(<= v_q)`` (per-block
+    partial sums, no shuffle) and asserts the true rank interval
+    intersects ``q*n ± tolerance*n`` — the bound the eps-summary
+    provably satisfies (eps + one max-weight step < tolerance).  The
+    SQL oracle recomputes n_rows exactly and asserts TRUE."""
+    est = q_approx_quantiles(sf_dir, eps=eps).to_pandas()
+    vals = est["est"].to_numpy()
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        lt = (x[:, None] < vals[None, :]).sum(axis=0).astype(np.int64)
+        le = (x[:, None] <= vals[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table(
+            {
+                "q": pa.array(list(_AQ_QS), pa.float64()),
+                "lt": pa.array(lt),
+                "le": pa.array(le),
+                "n": pa.array(np.full(len(_AQ_QS), x.size, np.int64)),
+            }
+        )
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(rank_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("q")
+        .aggregate(Sum("lt", alias_name="lt"), Sum("le", alias_name="le"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("q")
+    )
+    n = agg["n"].to_numpy()
+    lo = agg["q"].to_numpy() * n - tolerance * n
+    hi = agg["q"].to_numpy() * n + tolerance * n
+    ok = (agg["le"].to_numpy() >= lo) & (agg["lt"].to_numpy() <= hi)
+    return pa.table(
+        {
+            "q": pa.array(agg["q"].to_numpy(), pa.float64()),
+            "n_rows": pa.array(n.astype(np.int64)),
+            "rank_ok": pa.array(ok),
+        }
+    )
+
+
+Q_APPROX_QUANTILES_CHECK_SQL = """
+SELECT q, (SELECT COUNT(*) FROM lineitem) AS n_rows, TRUE AS rank_ok
+FROM (SELECT UNNEST([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+ORDER BY q
+"""

@@ -351,3 +351,37 @@ def test_cross_source_dup_matrix_empty_schema(tmp_path):
     ds = q_cross_source_dup_matrix(sf)
     assert ds.count() == 0
     assert ds.schema().names == ["source_a", "source_b", "dup_pairs"]
+
+
+def test_approx_quantiles_rank_bound(tmp_path):
+    """Skewed + heavily tied values: every estimate's exact rank
+    interval must intersect q*n +/- tol*n, and the per-block summary
+    must actually thin (reps << rows)."""
+    import pyarrow.parquet as pq2
+
+    from medical_and_charity_document_extraction_system_ray.pipelines.sketches import (
+        q_approx_quantiles,
+        q_approx_quantiles_check,
+        _quantile_summary,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate(
+        [np.full(400, 7.0), rng.gamma(2.0, 10.0, 600)]
+    )  # 40% ties at 7.0 + a skewed tail
+    tbl = pa.table({"l_extendedprice": pa.array(vals, pa.float64())})
+    pq2.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    sf = str(tmp_path)
+
+    out = q_approx_quantiles_check(sf).to_pandas()
+    assert out["rank_ok"].all()
+    assert (out["n_rows"] == 1000).all()
+
+    # thinning ratio ~ eps * block_rows: tiny test blocks (~31 rows)
+    # need a coarse eps for k > 1; at corpus block sizes eps=0.02 thins
+    v, cum, n = _quantile_summary(sf, eps=0.2)
+    assert n == 1000
+    assert v.size < 350  # summary thins vs the 1000 rows
+
+    est = q_approx_quantiles(sf).to_pandas()
+    assert est["est"].is_monotonic_increasing
