@@ -1998,3 +1998,123 @@ SELECT CAST(n AS BIGINT) AS n_terms,
              * 1000000 + 0.001) / 1000000 AS intercept
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid-retrieval fusion: BM25 + token-set Jaccard under RRF (SQL-matched)
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60  # the standard reciprocal-rank-fusion constant
+_RRF_TOPN = 10
+
+
+def q_jaccard_search(sf_dir: str) -> ray.data.Dataset:
+    """Second ranker for the hybrid-fusion pair: token-SET Jaccard of
+    each document against the fixed query terms — ``|q ∩ d| / |q ∪ d|``
+    over DISTINCT tokens.  Same scale shape as ``q_bm25_search``'s
+    pass 2: vectorized per-batch scoring, local top-k combiner, one
+    tiny global sort+limit; the corpus never reaches the sort."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms, k = _BM25_TERMS, _BM25_K
+    out_schema = pa.schema([("doc_id", pa.int64()), ("jac", pa.float64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        from .training_prep import _tokens_flat
+
+        flat, parent, _ = _tokens_flat(t["text"])
+        nrows = t.num_rows
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = pc.dictionary_encode(flat)
+        tok_id = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nvocab = int(tok_id.max()) + 1 if tok_id.size else 1
+        composite = parent.astype(np.int64) * nvocab + tok_id
+        uniq = np.unique(composite)
+        nd = np.bincount((uniq // nvocab).astype(np.int64), minlength=nrows)
+        ov = np.zeros(nrows, np.int64)
+        for term in terms:
+            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            ov += np.bincount(parent[eq], minlength=nrows) > 0
+        keep = ov > 0
+        union = nd[keep] + len(terms) - ov[keep]
+        jac = np.floor(ov[keep].astype(np.float64) / union * 1e6) / 1e6
+        doc_id = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        order = np.lexsort((doc_id, -jac))[:k]
+        return pa.table(
+            {"doc_id": pa.array(doc_id[order]), "jac": pa.array(jac[order])},
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["jac", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def q_hybrid_rrf(sf_dir: str) -> pa.Table:
+    """Reciprocal-rank fusion of the BM25 and token-set-Jaccard ranked
+    lists (the standard hybrid-retrieval combiner:
+    ``rrf = Σ 1/(60 + rank)`` over the lists containing the doc), top
+    10 by (rrf desc, doc_id).  Both input lists are top-k combiner
+    outputs — O(k) rows by construction — so the fusion itself runs on
+    the driver over 2k rows regardless of corpus size; the heavy work
+    is the two corpus passes inside the rankers.  Addition order (BM25
+    term first) and the 1e-6 floor grid match the SQL literally."""
+    a = q_bm25_search(sf_dir).to_pandas()
+    b = q_jaccard_search(sf_dir).to_pandas()
+    a = a.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    b = b.sort_values(["jac", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    ra = {int(d): i + 1 for i, d in enumerate(a["doc_id"])}
+    rb = {int(d): i + 1 for i, d in enumerate(b["doc_id"])}
+    fused = []
+    for d in sorted(set(ra) | set(rb)):
+        s = (1.0 / (_RRF_C + ra[d]) if d in ra else 0.0) + (
+            1.0 / (_RRF_C + rb[d]) if d in rb else 0.0
+        )
+        fused.append((d, np.floor(s * 1e6) / 1e6))
+    fused.sort(key=lambda x: (-x[1], x[0]))
+    top = fused[:_RRF_TOPN]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in top], pa.int64()),
+            "rrf": pa.array([s for _, s in top], pa.float64()),
+        }
+    )
+
+
+Q_JACCARD_SEARCH_SQL = r"""
+WITH dt AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> t <> '')) AS dt
+  FROM documents
+), ov AS (
+  SELECT doc_id, len(dt) AS nd,
+         (CASE WHEN list_contains(dt, 'table') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(dt, 'hash')  THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(dt, 'merge') THEN 1 ELSE 0 END) AS ov
+  FROM dt
+)
+SELECT doc_id,
+       FLOOR(CAST(ov AS DOUBLE) / CAST(nd + 3 - ov AS DOUBLE) * 1000000)
+         / 1000000 AS jac
+FROM ov WHERE ov > 0
+ORDER BY jac DESC, doc_id
+LIMIT 25
+"""
+
+Q_HYBRID_RRF_SQL = (
+    "WITH bm AS MATERIALIZED (" + Q_BM25_SQL + "),\n"
+    "jc AS MATERIALIZED (" + Q_JACCARD_SEARCH_SQL + "),\n"
+    + r"""
+a AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra FROM bm),
+b AS (SELECT doc_id, row_number() OVER (ORDER BY jac DESC, doc_id) AS rb FROM jc)
+SELECT doc_id,
+       FLOOR((COALESCE(1.0 / (60 + a.ra), 0.0)
+            + COALESCE(1.0 / (60 + b.rb), 0.0)) * 1000000) / 1000000 AS rrf
+FROM a FULL OUTER JOIN b USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+)

@@ -385,3 +385,43 @@ def test_approx_quantiles_rank_bound(tmp_path):
 
     est = q_approx_quantiles(sf).to_pandas()
     assert est["est"].is_monotonic_increasing
+
+
+def test_hybrid_rrf_fuses_both_ranks(tmp_path):
+    """RRF output must equal 1/(60+rank_bm25) + 1/(60+rank_jaccard)
+    recomputed from the two ranker outputs, and docs without any query
+    term never appear in either list or the fusion."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.text_analysis import (
+        q_bm25_search,
+        q_hybrid_rrf,
+        q_jaccard_search,
+    )
+
+    rng = np.random.RandomState(11)
+    vocab = ["table", "hash", "merge", "row", "scan", "sort", "batch", "key"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(3, 12)))
+        for _ in range(28)
+    ] + ["row scan sort", "batch key row"]  # no query terms at all
+    sf = _write_documents(tmp_path, texts)
+
+    a = (
+        q_bm25_search(sf).to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    b = (
+        q_jaccard_search(sf).to_pandas()
+        .sort_values(["jac", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    ra = {int(d): i + 1 for i, d in enumerate(a["doc_id"])}
+    rb = {int(d): i + 1 for i, d in enumerate(b["doc_id"])}
+    out = q_hybrid_rrf(sf).to_pandas()
+    for r in out.itertuples():
+        want = (1.0 / (60 + ra[r.doc_id]) if r.doc_id in ra else 0.0) + (
+            1.0 / (60 + rb[r.doc_id]) if r.doc_id in rb else 0.0
+        )
+        assert r.rrf == np.floor(want * 1e6) / 1e6
+    assert 28 not in set(out["doc_id"]) and 29 not in set(out["doc_id"])
+    assert 28 not in ra and 29 not in rb
