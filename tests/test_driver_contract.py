@@ -28,6 +28,7 @@ ROWS_ONLY = {
     "audio_fp_neardup",
     "semdedup",
     "pca_project",
+    "approx_quantiles",
 }
 
 
