@@ -75,6 +75,7 @@ def run_bench() -> dict:
         extraction_query,
         relational,
         similarity,
+        sketches,
         text_analysis,
         training_prep,
     )
@@ -192,6 +193,8 @@ def run_bench() -> dict:
         "semdedup": dedup.q_semdedup,
         "bm25_search": text_analysis.q_bm25_search,
         "gopher_rules": text_analysis.q_gopher_rules,
+        "hybrid_rrf": text_analysis.q_hybrid_rrf,
+        "approx_quantiles_check": sketches.q_approx_quantiles_check,
     }
     # paired A/B: two interleaved passes over the whole subset in the
     # same session.  The shared host drifts ±25-50% within minutes, so a
