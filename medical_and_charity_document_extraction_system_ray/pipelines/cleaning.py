@@ -909,3 +909,105 @@ FROM documents d
 LEFT JOIN per_doc p USING (doc_id)
 LEFT JOIN dup u USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Dup-rate by length decile (corpus-health calibration, SQL-matched)
+# ---------------------------------------------------------------------------
+
+def q_dup_rate_by_length(sf_dir: str) -> ray.data.Dataset:
+    """Exact-duplicate rate stratified by document length bucket
+    (``min(n_tokens // 10, 9)``) — the classic corpus-health calibration
+    showing that duplication concentrates in short documents, used to
+    pick length-conditioned dedup thresholds.
+
+    Scale shape (100 TB): the length bucket is a function of the text
+    itself, so identical copies share a bucket and NO doc-level join is
+    needed — one (text_hash, bucket, count) partial per batch, one
+    coarse-bucketed shuffle of those ~24 B rows, a vectorized run-length
+    resolve (global count per text; if > 1 every copy is a duplicate),
+    then a ≤10-key groupby of (bucket, n_docs, n_dup_docs) partials."""
+    from ..functions.text import fingerprint64
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = _arr(t["text"])
+        h = fingerprint64(text).view(np.int64)
+        ntok = token_count(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.minimum(ntok // 10, 9)
+        g = pa.table(
+            {"h": pa.array(h), "bucket": pa.array(b)}
+        ).group_by(["h", "bucket"]).aggregate([("h", "count")])
+        hb = g["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table(
+            {
+                "hb": pa.array((hb % np.uint64(64)).astype(np.int64)),
+                "h": g["h"],
+                "bucket": g["bucket"],
+                "c": pc.cast(g["h_count"], pa.int64()),
+            }
+        )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, h))
+        h, b, c = h[order], b[order], c[order]
+        bnd = np.concatenate([[True], h[1:] != h[:-1]])
+        idx = np.flatnonzero(bnd)
+        c_tot = np.add.reduceat(c, idx)
+        b_run = b[idx]
+        n_docs = np.bincount(b_run, weights=c_tot, minlength=10).astype(np.int64)
+        dup = c_tot > 1
+        n_dup = np.bincount(
+            b_run[dup], weights=c_tot[dup], minlength=10
+        ).astype(np.int64)
+        keep = n_docs > 0
+        return pa.table(
+            {
+                "bucket": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "n_docs": pa.array(n_docs[keep]),
+                "n_dup_docs": pa.array(n_dup[keep]),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        du = t["n_dup_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pc.cast(t["bucket"], pa.int64()),
+                "n_docs": pa.array(nd),
+                "n_dup_docs": pa.array(du),
+                "dup_rate": pa.array(floor6(du / nd.astype(np.float64))),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_hb = partials.groupby("hb").map_groups(resolve, batch_format="pyarrow")
+    return (
+        per_hb.groupby("bucket")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_dup_docs", alias_name="n_dup_docs"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+Q_DUP_RATE_BY_LENGTH_SQL = r"""
+WITH tk AS (
+  SELECT LEAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END // 10,
+               9) AS bucket,
+         COUNT(*) AS c
+  FROM documents GROUP BY text, bucket
+)
+SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       FLOOR(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+             / CAST(SUM(c) AS DOUBLE) * 1000000) / 1000000 AS dup_rate
+FROM tk GROUP BY bucket ORDER BY bucket
+"""

@@ -425,3 +425,27 @@ def test_hybrid_rrf_fuses_both_ranks(tmp_path):
         assert r.rrf == np.floor(want * 1e6) / 1e6
     assert 28 not in set(out["doc_id"]) and 29 not in set(out["doc_id"])
     assert 28 not in ra and 29 not in rb
+
+
+def test_dup_rate_by_length_buckets(tmp_path):
+    """Short dup pair lands in bucket 0 with rate 2/3; long uniques in
+    bucket 1 with rate 0; 100-token doc clips into bucket 9."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_dup_rate_by_length,
+    )
+
+    texts = [
+        "a b c",                      # bucket 0, dup x2
+        "a b c",
+        "unique short doc",           # bucket 0, unique
+        " ".join(["w"] * 12),         # bucket 1, unique
+        " ".join(["v"] * 15),         # bucket 1, unique
+        " ".join(["z"] * 100),        # bucket 9 (clipped)
+    ]
+    sf = _write_documents(tmp_path, texts)
+    out = q_dup_rate_by_length(sf).to_pandas().set_index("bucket")
+    assert out.loc[0, "n_docs"] == 3 and out.loc[0, "n_dup_docs"] == 2
+    assert out.loc[0, "dup_rate"] == np.floor(2 / 3 * 1e6) / 1e6
+    assert out.loc[1, "n_docs"] == 2 and out.loc[1, "n_dup_docs"] == 0
+    assert out.loc[9, "n_docs"] == 1
+    assert set(out.index) == {0, 1, 9}
