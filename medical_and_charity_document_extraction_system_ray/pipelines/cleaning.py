@@ -1011,3 +1011,154 @@ SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_docs,
              / CAST(SUM(c) AS DOUBLE) * 1000000) / 1000000 AS dup_rate
 FROM tk GROUP BY bucket ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-vs-duplication AUC (exact Mann-Whitney with midranks)
+# ---------------------------------------------------------------------------
+
+def q_quality_auc(sf_dir: str) -> pa.Table:
+    """Exact Mann-Whitney AUC of a quality signal (mean token length,
+    1e-6 grid) as a separator of duplicated vs unique documents — the
+    rank statistic a corpus team reads before wiring a quality score
+    into a length/dup-conditioned filter ("does this score actually
+    rank dups below uniques?").  Ties get the standard midrank 1/2.
+
+    Scale shape (100 TB): the score is a pure function of the text, so
+    it rides the text hash exactly like ``q_dup_rate_by_length``'s
+    bucket — NO doc-level join: (1) per-batch (hash, score, count)
+    partials; (2) one coarse-bucketed shuffle of those ~28 B rows with a
+    vectorized run-length resolve into per-score (pos, neg) doc counts
+    (pos = copies of a text that occurs > 1x, neg = unique texts);
+    (3) a groupby over the score grid — bounded by the score DOMAIN
+    (distinct 1e-6-grid ratios), not the corpus; (4) the driver folds
+    the tiny histogram into the single AUC scalar with an integer
+    prefix sum (same domain-bounded-histogram precedent as
+    ``q_percent_rank_value``).  AUC = sum_s pos_s*(2*cumneg_<s + neg_s)
+    / (2*P*N) is exact integer arithmetic until one final double
+    division, mirrored term-for-term by the SQL oracle."""
+    from ..functions.text import char_counts_nospace, fingerprint64
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = _arr(t["text"])
+        h = fingerprint64(text).view(np.int64)
+        ntok = token_count(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        nosp = char_counts_nospace(text).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mtl = np.where(ntok > 0, nosp / ntok.astype(np.float64), 0.0)
+        su = np.floor(mtl * 1e6).astype(np.int64)
+        g = (
+            pa.table({"h": pa.array(h), "su": pa.array(su)})
+            .group_by(["h", "su"])
+            .aggregate([("h", "count")])
+        )
+        hb = g["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table(
+            {
+                "hb": pa.array((hb % np.uint64(64)).astype(np.int64)),
+                "h": g["h"],
+                "su": g["su"],
+                "c": pc.cast(g["h_count"], pa.int64()),
+            }
+        )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        su = t["su"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((su, h))
+        h, su, c = h[order], su[order], c[order]
+        bnd = np.concatenate([[True], h[1:] != h[:-1]])
+        idx = np.flatnonzero(bnd)
+        c_tot = np.add.reduceat(c, idx)            # global copies per text
+        su_run = su[idx]                           # score rides the text
+        # collapse distinct texts -> per-score (pos, neg) partials
+        o2 = np.argsort(su_run, kind="stable")
+        su_s, ct_s = su_run[o2], c_tot[o2]
+        b2 = np.concatenate([[True], su_s[1:] != su_s[:-1]])
+        i2 = np.flatnonzero(b2)
+        pos = np.add.reduceat(np.where(ct_s > 1, ct_s, 0), i2)
+        neg = np.add.reduceat((ct_s == 1).astype(np.int64), i2)
+        return pa.table(
+            {
+                "su": pa.array(su_s[i2]),
+                "pos": pa.array(pos.astype(np.int64)),
+                "neg": pa.array(neg),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hb")
+        .map_groups(resolve, batch_format="pyarrow")
+        .groupby("su")
+        .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["su"])
+    num2 = 0
+    cumneg = 0
+    p_tot = 0
+    n_tot = 0
+    for r in hist:  # tiny: one row per distinct grid score
+        pos, neg = int(r["pos"]), int(r["neg"])
+        num2 += pos * (2 * cumneg + neg)
+        cumneg += neg
+        p_tot += pos
+        n_tot += neg
+    if p_tot > 0 and n_tot > 0:
+        auc = (
+            np.floor(float(num2) / float(2 * p_tot * n_tot) * 1e6) / 1e6
+        )
+    else:
+        auc = 0.0
+    return pa.table(
+        {
+            "pos_docs": pa.array([p_tot], type=pa.int64()),
+            "neg_docs": pa.array([n_tot], type=pa.int64()),
+            "auc_num2": pa.array([num2], type=pa.int64()),
+            "auc": pa.array([float(auc)], type=pa.float64()),
+        }
+    )
+
+
+Q_QUALITY_AUC_SQL = r"""
+WITH base AS (
+  SELECT text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_chars_nospace
+  FROM documents
+), scored AS (
+  SELECT text,
+         CAST(FLOOR(CASE WHEN n_tokens > 0
+              THEN CAST(n_chars_nospace AS DOUBLE) / n_tokens ELSE 0 END
+              * 1000000) AS BIGINT) AS su
+  FROM base
+), lab AS (
+  SELECT su, COUNT(*) AS c FROM scored GROUP BY text, su
+), h AS (
+  SELECT su,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+  FROM lab GROUP BY su
+), cum AS (
+  SELECT su, pos, neg,
+         CAST(COALESCE(SUM(neg) OVER (ORDER BY su
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumneg
+  FROM h
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS pos_docs,
+       CAST(SUM(neg) AS BIGINT) AS neg_docs,
+       CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS auc_num2,
+       CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+            THEN FLOOR(CAST(SUM(pos * (2 * cumneg + neg)) AS DOUBLE)
+                 / (2 * SUM(pos) * SUM(neg)) * 1000000) / 1000000
+            ELSE 0.0 END AS auc
+FROM cum
+"""

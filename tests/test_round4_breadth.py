@@ -449,3 +449,40 @@ def test_dup_rate_by_length_buckets(tmp_path):
     assert out.loc[1, "n_docs"] == 2 and out.loc[1, "n_dup_docs"] == 0
     assert out.loc[9, "n_docs"] == 1
     assert set(out.index) == {0, 1, 9}
+
+
+def test_quality_auc_midranks(tmp_path):
+    """Hand-computed Mann-Whitney AUC: dup texts at mean-token-len 2
+    and 3, uniques at 1, 2 (a tie), and 4.  P=4 copies, N=3 uniques;
+    pairwise wins 6 + one tie (0.5x2 docs) -> AUC = 7/12."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_quality_auc,
+    )
+
+    texts = [
+        "aa bb", "aa bb",        # dup pair, mtl 2.0
+        "aaa bbb", "aaa bbb",    # dup pair, mtl 3.0
+        "a b",                   # unique, mtl 1.0
+        "aa cc",                 # unique, mtl 2.0 (ties the dup pair)
+        "aaaa bbbb",             # unique, mtl 4.0
+    ]
+    out = q_quality_auc(_write_documents(tmp_path, texts)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r["pos_docs"]) == 4 and int(r["neg_docs"]) == 3
+    assert int(r["auc_num2"]) == 14  # 2*(sum of pairwise wins + ties/2)
+    assert r["auc"] == np.floor(14 / 24 * 1e6) / 1e6
+
+
+def test_quality_auc_degenerate_no_dups(tmp_path):
+    """All-unique corpus has no positive class: AUC pinned to 0.0."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_quality_auc,
+    )
+
+    out = q_quality_auc(
+        _write_documents(tmp_path, ["a b", "aa bb", "aaa bbb"])
+    ).to_pandas()
+    r = out.iloc[0]
+    assert int(r["pos_docs"]) == 0 and int(r["neg_docs"]) == 3
+    assert r["auc"] == 0.0 and int(r["auc_num2"]) == 0
