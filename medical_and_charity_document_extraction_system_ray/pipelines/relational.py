@@ -2211,3 +2211,187 @@ SELECT o_orderkey,
        )) AS BIGINT) AS zkey
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# Q21-style blame report: double-correlated EXISTS / NOT EXISTS
+# ---------------------------------------------------------------------------
+
+_BLAME_ROW = pa.schema(
+    [("o_orderkey", pa.int64()), ("r_skey", pa.int64())]
+)
+
+
+def q_blame_suppliers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    that were the SOLE returning supplier (`l_returnflag = 'R'`) on a
+    finalized (`o_orderstatus = 'F'`) multi-supplier order — the classic
+    EXISTS(other supplier) AND NOT EXISTS(other returning supplier)
+    double-correlated subquery, counted per supplier.
+
+    Ray shape: the correlation collapses into per-order aggregates —
+    (1) per-batch (orderkey, suppkey) -> any_R partials, (2) one
+    groupby(orderkey, suppkey), (3) one groupby(orderkey) producing
+    n_suppliers / n_returning / the single returning suppkey, (4) filter
+    n_sup >= 2 AND n_r == 1, (5) hash-join the surviving one-row-per-
+    order stream against status-'F' order keys, (6) a supplier-bounded
+    count + broadcast name lookup.  No row-vs-row self-join ever
+    materializes: the l2/l3 EXISTS subqueries the SQL oracle runs are
+    replaced by the order-level counts, so the widest shuffle carries
+    one ~24 B row per (order, supplier).  The supplier dimension is the
+    genuinely small side and is broadcast via ``ray.put`` (sorted-key
+    searchsorted, not a python dict probe)."""
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "any_r": r,
+                }
+            )
+            .group_by(["l_orderkey", "l_suppkey"])
+            .aggregate([("any_r", "max")])
+        )
+        return g.rename_columns(["l_orderkey", "l_suppkey", "any_r"])
+
+    per_os = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("any_r", alias_name="any_r"))
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ar = t["any_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "one": pa.array(np.ones(len(t), np.int64)),
+                "any_r": pa.array(ar),
+                "r_skey": pa.array(np.where(ar == 1, sk, -1)),
+            }
+        )
+
+    per_order = (
+        per_os.map_batches(widen, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(
+            Sum("one", alias_name="n_sup"),
+            Sum("any_r", alias_name="n_r"),
+            Max("r_skey", alias_name="r_skey"),
+        )
+    )
+
+    def blame_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _BLAME_ROW.empty_table()
+        m = pc.and_(pc.greater_equal(t["n_sup"], 2), pc.equal(t["n_r"], 1))
+        t = t.filter(m)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "r_skey": pc.cast(t["r_skey"], pa.int64()),
+            }
+        )
+
+    f_orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    blamed = (
+        per_order.map_batches(blame_filter, batch_format="pyarrow")
+        .repartition(8)
+        .join(
+            f_orders.repartition(8),
+            join_type="inner",
+            num_partitions=8,
+            on=("o_orderkey",),
+        )
+    )
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).take_all()
+    order_sk = np.argsort([r["s_suppkey"] for r in sup])
+    name_ref = ray.put(
+        (
+            np.array([sup[i]["s_suppkey"] for i in order_sk], dtype=np.int64),
+            pa.array([sup[i]["s_name"] for i in order_sk], type=pa.string()),
+        )
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("r_skey", pa.int64()), ("n", pa.int64())]).empty_table()
+        g = (
+            t.select(["r_skey"])
+            .group_by("r_skey")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "r_skey": pc.cast(g["r_skey"], pa.int64()),
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def to_names(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("s_name", pa.string()), ("n", pa.int64())]
+            ).empty_table()
+        keys, names = ray.get(name_ref)
+        sk = t["r_skey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, sk)
+        return pa.table(
+            {"s_name": names.take(pa.array(pos)), "n": pc.cast(t["n"], pa.int64())}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_name": t["s_name"],
+                "n_blame": pc.cast(t["n_blame"], pa.int64()),
+            }
+        )
+
+    return (
+        blamed.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("r_skey")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(to_names, batch_format="pyarrow")
+        .groupby("s_name")
+        .aggregate(Sum("n", alias_name="n_blame"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["n_blame", "s_name"], descending=[True, False])
+        .limit(k)
+    )
+
+
+Q_BLAME_SUPPLIERS_SQL = """
+SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_blame
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY n_blame DESC, s_name
+LIMIT 10
+"""

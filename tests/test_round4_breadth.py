@@ -486,3 +486,61 @@ def test_quality_auc_degenerate_no_dups(tmp_path):
     r = out.iloc[0]
     assert int(r["pos_docs"]) == 0 and int(r["neg_docs"]) == 3
     assert r["auc"] == 0.0 and int(r["auc_num2"]) == 0
+
+
+def test_blame_suppliers_q21_semantics(tmp_path):
+    """Hand-built Q21 fixture: supplier 1 is sole-R on two F orders
+    (one with a second R supplier -> excluded; one single-supplier ->
+    excluded; one order status 'O' -> excluded)."""
+    import pyarrow.parquet as pq2
+
+    from medical_and_charity_document_extraction_system_ray.pipelines.relational import (
+        q_blame_suppliers,
+    )
+
+    # orderkey: suppliers (returnflag)
+    li = [
+        (1, 1, "R"), (1, 2, "N"),            # F, multi, sole R=1 -> blame 1
+        (2, 1, "R"), (2, 3, "N"), (2, 3, "R"),  # F, multi, two R supps -> none
+        (3, 1, "R"),                          # F, single supplier -> none
+        (4, 1, "R"), (4, 2, "N"),            # status O -> none
+        (5, 2, "R"), (5, 1, "N"),            # F, multi, sole R=2 -> blame 2
+        (6, 2, "R"), (6, 3, "A"),            # F, multi, sole R=2 -> blame 2
+    ]
+    pq2.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([x[0] for x in li], pa.int64()),
+                "l_suppkey": pa.array([x[1] for x in li], pa.int64()),
+                "l_returnflag": pa.array([x[2] for x in li], pa.string()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq2.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "o_orderstatus": pa.array(
+                    ["F", "F", "F", "O", "F", "F"], pa.string()
+                ),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq2.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["Supp#1", "Supp#2", "Supp#3"], pa.string()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    out = (
+        q_blame_suppliers(str(tmp_path))
+        .to_pandas()
+        .set_index("s_name")["n_blame"]
+        .to_dict()
+    )
+    assert out == {"Supp#2": 2, "Supp#1": 1}
