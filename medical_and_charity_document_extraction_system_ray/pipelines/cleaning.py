@@ -1162,3 +1162,74 @@ SELECT CAST(SUM(pos) AS BIGINT) AS pos_docs,
             ELSE 0.0 END AS auc
 FROM cum
 """
+
+
+# ---------------------------------------------------------------------------
+# Pearson chi-square independence: lang x source contingency
+# ---------------------------------------------------------------------------
+
+def q_lang_source_chi2(sf_dir: str) -> pa.Table:
+    """Pearson chi-square statistic for independence of ``lang`` and
+    ``source`` — the corpus-composition shift test ("did shard 7 start
+    feeding us a different language mix?").
+
+    Scale shape: per-batch (lang, source) count partials, ONE groupby
+    over the bounded langs-x-sources grid, then the driver finishes the
+    tiny contingency in numpy (``q_source_jsd`` precedent).  All
+    expected counts come from exact integer marginals; the only floats
+    are the final per-cell (o-e)^2/e terms, floored to the 1e-6 grid
+    after the sum (Q_SOURCE_JSD_SQL's parity recipe).  Zero cells of
+    the full grid are included (e > 0 whenever both marginals are)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "n"])
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    pv = grid.pivot_table(
+        index="lang", columns="source", values="n", aggfunc="sum", fill_value=0
+    ).sort_index(axis=0).sort_index(axis=1)
+    c = pv.to_numpy(dtype=np.int64)
+    total = int(c.sum())
+    row = c.sum(axis=1).astype(np.float64)
+    col = c.sum(axis=0).astype(np.float64)
+    e = row[:, None] * col[None, :] / float(total)
+    chi2 = floor6(float((((c - e) ** 2) / e).sum()))
+    dof = (c.shape[0] - 1) * (c.shape[1] - 1)
+    return pa.table(
+        {
+            "n_docs": pa.array([total], type=pa.int64()),
+            "dof": pa.array([dof], type=pa.int64()),
+            "chi2": pa.array([float(chi2)], type=pa.float64()),
+        }
+    )
+
+
+Q_LANG_SOURCE_CHI2_SQL = """
+WITH cnt AS (
+  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+), rl AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS rc FROM cnt GROUP BY lang
+), cs AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS cc FROM cnt GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt
+), grid AS (
+  SELECT rl.lang, cs.source, COALESCE(cnt.c, 0) AS c,
+         CAST(rl.rc AS DOUBLE) * cs.cc / tot.n AS e
+  FROM rl CROSS JOIN cs
+  LEFT JOIN cnt ON cnt.lang = rl.lang AND cnt.source = cs.source
+  CROSS JOIN tot
+)
+SELECT (SELECT n FROM tot) AS n_docs,
+       CAST(((SELECT COUNT(*) FROM rl) - 1) * ((SELECT COUNT(*) FROM cs) - 1)
+            AS BIGINT) AS dof,
+       FLOOR(SUM((c - e) * (c - e) / e) * 1000000) / 1000000 AS chi2
+FROM grid
+"""

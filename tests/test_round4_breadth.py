@@ -544,3 +544,21 @@ def test_blame_suppliers_q21_semantics(tmp_path):
         .to_dict()
     )
     assert out == {"Supp#2": 2, "Supp#1": 1}
+
+
+def test_lang_source_chi2_hand_value(tmp_path):
+    """Perfectly dependent 2x2 contingency [[10,0],[0,10]] -> chi2 = n
+    = 20, dof = 1; zero cells of the full grid are included."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_lang_source_chi2,
+    )
+
+    texts = ["t%d" % i for i in range(20)]
+    langs = ["en"] * 10 + ["de"] * 10
+    sources = ["s0"] * 10 + ["s1"] * 10
+    out = q_lang_source_chi2(
+        _write_documents(tmp_path, texts, langs, sources)
+    ).to_pandas()
+    r = out.iloc[0]
+    assert int(r["n_docs"]) == 20 and int(r["dof"]) == 1
+    assert r["chi2"] == 20.0
