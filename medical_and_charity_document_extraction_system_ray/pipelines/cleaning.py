@@ -1017,6 +1017,29 @@ FROM tk GROUP BY bucket ORDER BY bucket
 # Quality-vs-duplication AUC (exact Mann-Whitney with midranks)
 # ---------------------------------------------------------------------------
 
+def _auc_fold(
+    hist: list[tuple[int, int, int]],
+) -> tuple[int, int, int, float]:
+    """Fold a (score, pos, neg) histogram into the exact Mann-Whitney
+    AUC: num2 = sum_s pos_s * (2*cumneg_<s + neg_s) counts every
+    (pos, neg) pair twice (wins x2, ties x1), so AUC = num2/(2*P*N).
+    Pure integer arithmetic until one final double division mirrored
+    by the SQL oracle; returns (num2, P, N, floor6(auc))."""
+    num2 = cumneg = p_tot = n_tot = 0
+    for _, pos, neg in sorted(hist):
+        num2 += pos * (2 * cumneg + neg)
+        cumneg += neg
+        p_tot += pos
+        n_tot += neg
+    if p_tot > 0 and n_tot > 0:
+        auc = float(
+            np.floor(float(num2) / float(2 * p_tot * n_tot) * 1e6) / 1e6
+        )
+    else:
+        auc = 0.0
+    return num2, p_tot, n_tot, auc
+
+
 def q_quality_auc(sf_dir: str) -> pa.Table:
     """Exact Mann-Whitney AUC of a quality signal (mean token length,
     1e-6 grid) as a separator of duplicated vs unique documents — the
@@ -1099,23 +1122,9 @@ def q_quality_auc(sf_dir: str) -> pa.Table:
         .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
         .take_all()
     )
-    hist.sort(key=lambda r: r["su"])
-    num2 = 0
-    cumneg = 0
-    p_tot = 0
-    n_tot = 0
-    for r in hist:  # tiny: one row per distinct grid score
-        pos, neg = int(r["pos"]), int(r["neg"])
-        num2 += pos * (2 * cumneg + neg)
-        cumneg += neg
-        p_tot += pos
-        n_tot += neg
-    if p_tot > 0 and n_tot > 0:
-        auc = (
-            np.floor(float(num2) / float(2 * p_tot * n_tot) * 1e6) / 1e6
-        )
-    else:
-        auc = 0.0
+    num2, p_tot, n_tot, auc = _auc_fold(
+        [(int(r["su"]), int(r["pos"]), int(r["neg"])) for r in hist]
+    )
     return pa.table(
         {
             "pos_docs": pa.array([p_tot], type=pa.int64()),

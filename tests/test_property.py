@@ -225,3 +225,46 @@ def test_cdc_chunks_partition_text(texts):
             assert n_chunks_by_doc[i] >= 1
             assert chars_by_doc[i] == n          # chunks partition the text
             assert occ_by_doc[i] == n_chunks_by_doc[i]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),   # grid score
+            st.integers(min_value=0, max_value=4),    # pos docs at score
+            st.integers(min_value=0, max_value=4),    # neg docs at score
+        ),
+        max_size=12,
+        unique_by=lambda x: x[0],
+    )
+)
+def test_auc_fold_matches_bruteforce_pairs(hist):
+    """_auc_fold == brute-force mean over all (pos, neg) pairs of
+    win=1 / tie=0.5 / loss=0, on any histogram including degenerate
+    one-class ones."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        _auc_fold,
+    )
+
+    num2, p, n, auc = _auc_fold(hist)
+    pos_scores = [s for s, po, _ in hist for _ in range(po)]
+    neg_scores = [s for s, _, ne in hist for _ in range(ne)]
+    assert p == len(pos_scores) and n == len(neg_scores)
+    if not pos_scores or not neg_scores:
+        assert auc == 0.0 and num2 == sum(
+            po * ne for _, po, ne in hist
+        ) + 2 * sum(
+            po1 * ne2
+            for s1, po1, _ in hist
+            for s2, _, ne2 in hist
+            if s2 < s1
+        )
+        return
+    wins2 = sum(
+        2 if ps > ns else (1 if ps == ns else 0)
+        for ps in pos_scores
+        for ns in neg_scores
+    )
+    assert num2 == wins2
+    assert auc == np.floor(float(wins2) / float(2 * p * n) * 1e6) / 1e6
