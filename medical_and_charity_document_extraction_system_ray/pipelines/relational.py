@@ -2330,30 +2330,24 @@ def q_blame_suppliers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     )
 
     def count_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.schema([("r_skey", pa.int64()), ("n", pa.int64())]).empty_table()
-        g = (
-            t.select(["r_skey"])
-            .group_by("r_skey")
-            .aggregate([([], "count_all")])
-        )
-        return pa.table(
-            {
-                "r_skey": pc.cast(g["r_skey"], pa.int64()),
-                "n": pc.cast(g["count_all"], pa.int64()),
-            }
-        )
-
-    def to_names(t: pa.Table) -> pa.Table:
+        # per-batch supplier counts with the broadcast name attached
+        # here, so ONE bounded groupby(s_name) finishes the report
         if t.num_rows == 0:
             return pa.schema(
                 [("s_name", pa.string()), ("n", pa.int64())]
             ).empty_table()
         keys, names = ray.get(name_ref)
-        sk = t["r_skey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, sk)
+        g = (
+            t.select(["r_skey"])
+            .group_by("r_skey")
+            .aggregate([([], "count_all")])
+        )
+        pos = np.searchsorted(keys, g["r_skey"].to_numpy(zero_copy_only=False))
         return pa.table(
-            {"s_name": names.take(pa.array(pos)), "n": pc.cast(t["n"], pa.int64())}
+            {
+                "s_name": names.take(pa.array(pos)),
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
         )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -2366,9 +2360,6 @@ def q_blame_suppliers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
 
     return (
         blamed.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("r_skey")
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(to_names, batch_format="pyarrow")
         .groupby("s_name")
         .aggregate(Sum("n", alias_name="n_blame"))
         .map_batches(finish, batch_format="pyarrow")
