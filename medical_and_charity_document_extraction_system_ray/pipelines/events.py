@@ -1869,3 +1869,102 @@ FROM r
 WHERE rn > n // 20 AND rn <= n - n // 20
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Global running revenue — distributed prefix scan (two-phase offsets)
+# ---------------------------------------------------------------------------
+
+def q_global_running_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide cumulative revenue in (ts, event_id) order — the
+    canonical DISTRIBUTED PREFIX SCAN: unlike ``q_running_user_value``
+    (keyed per user) this window has no partition key at all, which is
+    exactly the shape naive engines serialize on one node.
+
+    Two-phase exact scan: (1) per-batch day-bucket cent totals + one
+    bounded groupby(day) -> the driver builds EXCLUSIVE day offsets
+    (calendar-bounded: rows on the driver = distinct days, never the
+    corpus) and broadcasts them once; (2) one shuffle keyed on the day
+    (bounded key — safe for ``map_groups`` per CLAUDE.md), each group
+    lexsorts its day once and adds offset + local cumsum.  A hot day
+    sub-buckets by hour with the same algebra.  Integer cents end to
+    end — bit-identical to the SQL running window."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "value"])
+    day_us = 86_400_000_000
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        tmp = pa.table(
+            {
+                "day": pc.divide(us, day_us),
+                "c": _cents(t["value"]),
+            }
+        )
+        return tmp.group_by("day").aggregate([("c", "sum")]).rename_columns(
+            ["day", "c"]
+        )
+
+    totals = (
+        ds.map_batches(day_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    totals.sort(key=lambda r: r["day"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in totals:
+        offsets[int(r["day"])] = acc
+        acc += int(r["c"])
+    off_ref = ray.put(offsets)
+
+    def add_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "us": us,
+                "day": pc.divide(us, day_us),
+                "c": _cents(t["value"]),
+            }
+        )
+
+    def scan(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, day))  # group may span several days
+        cum = np.cumsum(c[order])
+        # per-day re-basing: each day's run starts at its exclusive offset
+        d_sorted = day[order]
+        bnd = np.concatenate([[True], d_sorted[1:] != d_sorted[:-1]])
+        starts = np.flatnonzero(bnd)
+        base = np.array([off[int(d_sorted[s])] for s in starts], dtype=np.int64)
+        prior = np.concatenate([[0], cum[starts[1:] - 1]]) if starts.size else base
+        rebased = cum + np.repeat(base - prior, np.diff(np.append(starts, len(cum))))
+        out = np.empty_like(rebased)
+        out[order] = rebased
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "cum_cents": pa.array(out.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .map_groups(scan, batch_format="pyarrow")
+    )
+
+
+Q_GLOBAL_RUNNING_REVENUE_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            OVER (ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cents
+FROM events
+"""

@@ -562,3 +562,34 @@ def test_lang_source_chi2_hand_value(tmp_path):
     r = out.iloc[0]
     assert int(r["n_docs"]) == 20 and int(r["dof"]) == 1
     assert r["chi2"] == 20.0
+
+
+def test_global_running_revenue_brute_force(tmp_path):
+    """Cross-day shuffled events: the two-phase day-offset scan must
+    equal the single-threaded cumulative sum in (ts, event_id) order,
+    including same-timestamp ties broken by event_id."""
+    from tests.test_round3_breadth import _write_events
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_global_running_revenue,
+    )
+
+    day = 86_400_000_000
+    rng = np.random.RandomState(5)
+    # 3 days, shuffled arrival order, duplicate timestamps included
+    ts = np.concatenate(
+        [d * day + rng.randint(0, day, size=40) for d in (3, 1, 2)]
+    )
+    ts[5] = ts[6]  # forced tie -> event_id break
+    vals = rng.uniform(-50, 50, size=len(ts))
+    sf = _write_events(tmp_path, ts, [0] * len(ts), vals)
+
+    out = (
+        q_global_running_revenue(sf)
+        .to_pandas()
+        .set_index("event_id")["cum_cents"]
+    )
+    cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+    order = np.lexsort((np.arange(len(ts)), ts))
+    cum = np.cumsum(cents[order])
+    for pos, eid in enumerate(order):
+        assert out[eid] == cum[pos]
