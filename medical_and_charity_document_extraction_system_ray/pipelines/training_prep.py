@@ -774,3 +774,147 @@ FROM h
 QUALIFY rn <= 15
 ORDER BY source, rn
 """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus-prep composition: quality filter -> dedup -> accounting
+# ---------------------------------------------------------------------------
+
+def q_corpus_prep(sf_dir: str) -> ray.data.Dataset:
+    """The canonical corpus-prep chain as ONE pipeline: quality-gate
+    every document (5 <= tokens <= 5000 AND digit-ratio < 0.3, checked
+    in EXACT integer form ``10*digits < 3*chars``), exact-dedup the
+    survivors keeping the min doc_id per text, then account the kept
+    corpus per source (docs + total tokens) — the end-to-end "what do
+    we actually train on" report.
+
+    Scale shape: the quality gate is a stateless vectorized filter
+    fused into the scan; dedup ships one (hash, min(doc_id*K+src),
+    ntok) partial per distinct surviving text per batch (the keeper's
+    source rides the doc_id in a composite int64 — NO join back to the
+    winning row); the final per-source rollup is a bounded groupby."""
+    from ..functions.text import char_counts_nospace, digit_count, fingerprint64, token_count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    # global bounded source registry, broadcast once (must stay < 64
+    # entries for the composite; a wider registry just widens the
+    # multiplier)
+    src_reg = sorted(
+        {
+            r["source"]
+            for r in read_table(sf_dir, "documents", columns=["source"])
+            .map_batches(
+                lambda t: pa.table(
+                    {"source": pc.unique(t["source"].combine_chunks())}
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        }
+    )
+    assert len(src_reg) < 64, "widen the composite multiplier"
+    reg_ref = ray.put(np.array(src_reg))
+
+    def partial(t: pa.Table) -> pa.Table:
+        reg = ray.get(reg_ref)
+        text = t["text"].combine_chunks()
+        ntok = token_count(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        nosp = char_counts_nospace(text).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        dig = digit_count(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ntok >= 5) & (ntok <= 5000) & (10 * dig < 3 * nosp)
+        t2 = pa.table(
+            {
+                "h": pa.array(fingerprint64(text).view(np.int64)),
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "ntok": pa.array(ntok),
+            }
+        ).filter(pa.array(keep))
+        # composite keeper key: doc_id * 64 + GLOBAL source index; min
+        # over the composite = min doc_id (doc_id is unique), and the
+        # keeper's source decodes from k % 64 downstream — no join back
+        sidx = np.searchsorted(
+            reg, t2["source"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        did = t2["doc_id"].to_numpy(zero_copy_only=False)
+        comp = pa.table(
+            {
+                "h": t2["h"],
+                "k": pa.array(did * 64 + sidx),
+                "ntok": t2["ntok"],
+            }
+        )
+        g = comp.group_by("h").aggregate([("k", "min"), ("ntok", "max")])
+        return pa.table(
+            {
+                "h": g["h"],
+                "k": pc.cast(g["k_min"], pa.int64()),
+                "ntok": pc.cast(g["ntok_max"], pa.int64()),
+            }
+        )
+
+    deduped = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Min("k", alias_name="k"), Max("ntok", alias_name="ntok"))
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("source", pa.string()), ("one", pa.int64()), ("ntok", pa.int64())]
+            ).empty_table()
+        reg = ray.get(reg_ref)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": pa.array(reg[(k % 64).astype(np.int64)]),
+                "one": pa.array(np.ones(len(t), np.int64)),
+                "ntok": pc.cast(t["ntok"], pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            }
+        )
+
+    return (
+        deduped.map_batches(rollup, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("one", alias_name="n_docs"), Sum("ntok", alias_name="n_tokens"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+Q_CORPUS_PREP_SQL = r"""
+WITH q AS (
+  SELECT doc_id, source, text,
+         CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text, ' '), '\s+')) END
+           AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_chars_nospace,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+  FROM documents
+), f AS (
+  SELECT * FROM q
+  WHERE n_tokens >= 5 AND n_tokens <= 5000
+    AND 10 * n_digits < 3 * n_chars_nospace
+), keeper AS (
+  SELECT source, n_tokens,
+         doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_keeper
+  FROM f
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM keeper WHERE is_keeper
+GROUP BY source
+"""

@@ -593,3 +593,28 @@ def test_global_running_revenue_brute_force(tmp_path):
     cum = np.cumsum(cents[order])
     for pos, eid in enumerate(order):
         assert out[eid] == cum[pos]
+
+
+def test_corpus_prep_filter_dedup_attribution(tmp_path):
+    """Quality gate drops short and digit-heavy docs; cross-source dup
+    is counted once, attributed to the MIN doc_id's source."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.training_prep import (
+        q_corpus_prep,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon",   # 0: keep (src B, keeper of dup)
+        "alpha beta gamma delta epsilon",   # 1: dup   (src A)
+        "one two",                          # 2: too short (< 5 tokens)
+        "11 22 33 44 55 aa",                # 3: digit-heavy -> dropped
+        "zeta eta theta iota kappa lambda", # 4: keep (src A)
+    ]
+    sources = ["B", "A", "A", "A", "A"]
+    out = (
+        q_corpus_prep(_write_documents(tmp_path, texts, sources=sources))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert out.loc["B", "n_docs"] == 1 and out.loc["B", "n_tokens"] == 5
+    assert out.loc["A", "n_docs"] == 1 and out.loc["A", "n_tokens"] == 6
+    assert set(out.index) == {"A", "B"}
