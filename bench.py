@@ -195,6 +195,9 @@ def run_bench() -> dict:
         "gopher_rules": text_analysis.q_gopher_rules,
         "hybrid_rrf": text_analysis.q_hybrid_rrf,
         "approx_quantiles_check": sketches.q_approx_quantiles_check,
+        "corpus_prep": training_prep.q_corpus_prep,
+        "quality_auc": cleaning.q_quality_auc,
+        "global_running_revenue": events.q_global_running_revenue,
     }
     # paired A/B: two interleaved passes over the whole subset in the
     # same session.  The shared host drifts ±25-50% within minutes, so a
