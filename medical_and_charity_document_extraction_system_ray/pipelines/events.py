@@ -1968,3 +1968,68 @@ SELECT event_id,
             AS BIGINT) AS cum_cents
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Windowed grouped top-k: top spenders per hour window
+# ---------------------------------------------------------------------------
+
+def q_top_users_per_hour(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Top-k users by value inside each tumbling hour — the window x
+    ranking composite (streaming leaderboard shape).
+
+    Scale shape: the unbounded user key never reaches a ranking stage
+    raw — per-batch (hour, user) cent partials collapse occurrences
+    first, ONE keyed shuffle moves those ~24 B rows, and the ranking
+    runs once per hour GROUP (hours are calendar-bounded) with a single
+    lexsort + head-k slice, not a per-user python call.  Ties break on
+    user_id, mirroring the SQL window's ORDER BY."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tmp = pa.table(
+            {
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "user_id": t["user_id"],
+                "c": _cents(t["value"]),
+            }
+        )
+        return (
+            tmp.group_by(["hour", "user_id"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["hour", "user_id", "cents"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["hour", "user_id"])
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -c))[:k]
+        return pa.table(
+            {
+                "hour": g["hour"].take(pa.array(order)),
+                "user_id": pa.array(uid[order]),
+                "cents": pa.array(c[order].astype(np.int64)),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return agg.groupby("hour").map_groups(topk, batch_format="pyarrow")
+
+
+Q_TOP_USERS_PER_HOUR_SQL = """
+WITH s AS (
+  SELECT date_trunc('hour', ts) AS hour, user_id,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY hour, user_id
+)
+SELECT hour, user_id, cents,
+       CAST(row_number() OVER (PARTITION BY hour
+            ORDER BY cents DESC, user_id) AS BIGINT) AS rnk
+FROM s QUALIFY rnk <= 3
+"""

@@ -618,3 +618,22 @@ def test_corpus_prep_filter_dedup_attribution(tmp_path):
     assert out.loc["B", "n_docs"] == 1 and out.loc["B", "n_tokens"] == 5
     assert out.loc["A", "n_docs"] == 1 and out.loc["A", "n_tokens"] == 6
     assert set(out.index) == {"A", "B"}
+
+
+def test_top_users_per_hour_ranking_and_ties(tmp_path):
+    """Two hours, tie on cents broken by user_id asc, k=3 cut."""
+    from tests.test_round3_breadth import _write_events
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_top_users_per_hour,
+    )
+
+    h = 3_600_000_000
+    # hour 0: u1=30, u2=30 (tie), u3=20, u4=10 (cut); hour 1: u5 alone
+    ts = [0, 1, 2, 3, 4, h + 1]
+    users = [1, 2, 3, 4, 2, 5]
+    vals = [0.30, 0.20, 0.20, 0.10, 0.10, 0.50]
+    sf = _write_events(tmp_path, [t + 10 for t in ts], users, vals)
+    out = q_top_users_per_hour(sf).to_pandas().sort_values(["hour", "rnk"])
+    assert list(out["user_id"]) == [1, 2, 3, 5]
+    assert list(out["rnk"]) == [1, 2, 3, 1]
+    assert list(out["cents"]) == [30, 30, 20, 50]
