@@ -2118,3 +2118,116 @@ ORDER BY rrf DESC, doc_id
 LIMIT 10
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena / exclusive vocabulary per source
+# ---------------------------------------------------------------------------
+
+def q_hapax_by_source(sf_dir: str) -> ray.data.Dataset:
+    """Within-source hapax legomena rate: per source, the distinct
+    vocabulary size, the tokens occurring exactly ONCE in that source,
+    and their ratio — the Zipf-tail companion of ``q_zipf_slope``; a
+    crawl shard whose hapax rate explodes is usually mojibake or
+    boilerplate soup.
+
+    Scale shape: per-batch (token, source-idx, count) partials collapse
+    occurrences before the ONE vocabulary-keyed shuffle (rows =
+    distinct (token, source) pairs, never occurrences); the rollup is a
+    bounded groupby over the source registry index.  The rate is one
+    double division on the 1e-6 grid."""
+    import ray as _ray
+    from ..functions.text import floor6 as _floor6
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    src_reg = sorted(
+        {
+            r["source"]
+            for r in read_table(sf_dir, "documents", columns=["source"])
+            .map_batches(
+                lambda t: pa.table(
+                    {"source": pc.unique(t["source"].combine_chunks())}
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        }
+    )
+    reg_ref = _ray.put(np.array(src_reg))
+
+    def partial(t: pa.Table) -> pa.Table:
+        reg = _ray.get(reg_ref)
+        t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], " "), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        src = t["source"].combine_chunks().take(parent)
+        tmp = pa.table({"token": flat, "src": src})
+        tmp = tmp.filter(pc.not_equal(tmp["token"], ""))
+        sidx = np.searchsorted(
+            reg, tmp["src"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        g = (
+            pa.table({"token": tmp["token"], "sidx": pa.array(sidx)})
+            .group_by(["token", "sidx"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["token", "sidx", "c"])
+
+    per_pair = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["token", "sidx"])
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("sidx", pa.int64()), ("hapax", pa.int64()), ("one", pa.int64())]
+            ).empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sidx": pc.cast(t["sidx"], pa.int64()),
+                "hapax": pa.array((n == 1).astype(np.int64)),
+                "one": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        reg = _ray.get(reg_ref)
+        s_ = t["sidx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hap = t["n_hapax"].to_numpy(zero_copy_only=False).astype(np.int64)
+        voc = t["n_vocab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(reg[s_]),
+                "n_vocab": pa.array(voc),
+                "n_hapax": pa.array(hap),
+                "hapax_rate": pa.array(_floor6(hap / voc.astype(np.float64))),
+            }
+        )
+
+    return (
+        per_pair.map_batches(rollup, batch_format="pyarrow")
+        .groupby("sidx")
+        .aggregate(Sum("hapax", alias_name="n_hapax"), Sum("one", alias_name="n_vocab"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+Q_HAPAX_SQL = r"""
+WITH tok AS (
+  SELECT source, UNNEST(regexp_split_to_array(trim(text, ' '), '\s+')) AS token
+  FROM documents WHERE length(trim(text, ' ')) > 0
+), t2 AS (
+  SELECT source, token, COUNT(*) AS n
+  FROM tok WHERE token <> '' GROUP BY source, token
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       FLOOR(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) * 1000000) / 1000000 AS hapax_rate
+FROM t2 GROUP BY source
+"""

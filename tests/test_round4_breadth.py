@@ -637,3 +637,22 @@ def test_top_users_per_hour_ranking_and_ties(tmp_path):
     assert list(out["user_id"]) == [1, 2, 3, 5]
     assert list(out["rnk"]) == [1, 2, 3, 1]
     assert list(out["cents"]) == [30, 30, 20, 50]
+
+
+def test_hapax_by_source_within_source_counts(tmp_path):
+    """src A: vocab {x(2), y(1), z(1)} -> 2 hapax / 3 vocab; src B:
+    vocab {x(1)} -> x is hapax IN B even though global count is 3."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.text_analysis import (
+        q_hapax_by_source,
+    )
+
+    texts = ["x y x", "z", "x"]
+    sources = ["A", "A", "B"]
+    out = (
+        q_hapax_by_source(_write_documents(tmp_path, texts, sources=sources))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert out.loc["A", "n_vocab"] == 3 and out.loc["A", "n_hapax"] == 2
+    assert out.loc["A", "hapax_rate"] == np.floor(2 / 3 * 1e6) / 1e6
+    assert out.loc["B", "n_vocab"] == 1 and out.loc["B", "n_hapax"] == 1
