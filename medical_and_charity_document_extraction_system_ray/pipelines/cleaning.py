@@ -1242,3 +1242,63 @@ SELECT (SELECT n FROM tot) AS n_docs,
        FLOOR(SUM((c - e) * (c - e) / e) * 1000000) / 1000000 AS chi2
 FROM grid
 """
+
+
+# ---------------------------------------------------------------------------
+# Unicode-hygiene audit: NFC conformance, non-ASCII and control chars
+# ---------------------------------------------------------------------------
+
+def q_unicode_audit(sf_dir: str) -> ray.data.Dataset:
+    """Per-document Unicode hygiene: non-ASCII codepoint count, control
+    characters outside tab/newline, and NFC conformance — the encoding
+    triage every multilingual ingest runs before tokenization (mojibake
+    shows up as control chars + non-NFC combining marks).
+
+    Vectorization: both codepoint-class counts are single RE2 kernels
+    over the batch.  The NFC check rides an ASCII FAST PATH (pure-ASCII
+    text is NFC by definition, and pyarrow 16's ``utf8_normalize``
+    decomposes for every form — unusable), so the per-row
+    ``unicodedata.normalize`` comparison runs ONLY over the non-ASCII
+    tail of each batch, which in a web corpus is the minority slice and
+    in this fixture corpus is empty."""
+    import unicodedata
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def audit(t: pa.Table) -> pa.Table:
+        text = _arr(t["text"])
+        nonascii = pc.cast(
+            pc.count_substring_regex(text, r"[^\x00-\x7F]"), pa.int64()
+        )
+        ctrl = pc.cast(
+            pc.count_substring_regex(text, r"[\x00-\x08\x0B-\x1F\x7F]"),
+            pa.int64(),
+        )
+        na = nonascii.to_numpy(zero_copy_only=False)
+        is_nfc = np.ones(len(t), dtype=bool)
+        tail = np.nonzero(na > 0)[0]
+        if tail.size:
+            vals = text.take(pa.array(tail)).to_pylist()
+            for j, s in zip(tail, vals):
+                is_nfc[j] = unicodedata.normalize("NFC", s) == s
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_nonascii": nonascii,
+                "n_control": ctrl,
+                "is_nfc": pa.array(is_nfc),
+            }
+        )
+
+    return ds.map_batches(audit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q_UNICODE_AUDIT_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS BIGINT)
+         AS n_nonascii,
+       CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B-\x1F\x7F]'))
+         AS BIGINT) AS n_control,
+       text = nfc_normalize(text) AS is_nfc
+FROM documents
+"""

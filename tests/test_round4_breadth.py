@@ -656,3 +656,28 @@ def test_hapax_by_source_within_source_counts(tmp_path):
     assert out.loc["A", "n_vocab"] == 3 and out.loc["A", "n_hapax"] == 2
     assert out.loc["A", "hapax_rate"] == np.floor(2 / 3 * 1e6) / 1e6
     assert out.loc["B", "n_vocab"] == 1 and out.loc["B", "n_hapax"] == 1
+
+
+def test_unicode_audit_nfc_and_control(tmp_path):
+    """Decomposed combining mark -> is_nfc False; BEL/US are control,
+    tab/newline are NOT; CJK counts as non-ASCII and stays NFC."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.cleaning import (
+        q_unicode_audit,
+    )
+
+    texts = [
+        "plain ascii",
+        "café decomposed",   # non-NFC
+        "café composed",      # NFC
+        "bell\x07 unit\x1f",
+        "tab\tand\nnewline",
+        "汉字 cjk",
+    ]
+    out = (
+        q_unicode_audit(_write_documents(tmp_path, texts))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert list(out["is_nfc"]) == [True, False, True, True, True, True]
+    assert list(out["n_nonascii"]) == [0, 1, 1, 0, 0, 2]
+    assert list(out["n_control"]) == [0, 0, 0, 2, 0, 0]
