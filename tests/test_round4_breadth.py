@@ -667,16 +667,17 @@ def test_unicode_audit_nfc_and_control(tmp_path):
 
     texts = [
         "plain ascii",
-        "café decomposed",   # non-NFC
-        "café composed",      # NFC
+        "cafe\u0301 decomposed",   # combining acute -> non-NFC
+        "caf\u00e9 composed",       # precomposed -> NFC
         "bell\x07 unit\x1f",
         "tab\tand\nnewline",
-        "汉字 cjk",
+        "\u6c49\u5b57 cjk",
     ]
     out = (
         q_unicode_audit(_write_documents(tmp_path, texts))
         .to_pandas()
         .set_index("doc_id")
+        .sort_index()
     )
     assert list(out["is_nfc"]) == [True, False, True, True, True, True]
     assert list(out["n_nonascii"]) == [0, 1, 1, 0, 0, 2]
