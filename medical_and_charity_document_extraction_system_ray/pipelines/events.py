@@ -2033,3 +2033,112 @@ SELECT hour, user_id, cents,
             ORDER BY cents DESC, user_id) AS BIGINT) AS rnk
 FROM s QUALIFY rnk <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov: each event_type vs the rest
+# ---------------------------------------------------------------------------
+
+def q_ks_by_event_type(sf_dir: str) -> pa.Table:
+    """Exact two-sample KS statistic of each event type's value
+    distribution against all OTHER events — the distribution-shift test
+    ("did checkout values drift from everything else?") completing the
+    chi-square / AUC statistics family.
+
+    Exactness: on the integer cents grid the KS supremum is
+    max |c1*n2 - c2*n1| / (n1*n2) — pure integer arithmetic until ONE
+    final double division (floored to the 1e-6 grid), so parity with
+    the SQL window-cumsum oracle is bit-for-bit.  Scale shape: the only
+    shuffle is the (type, cents) histogram groupby, bounded by the
+    value DOMAIN, not the corpus (``q_percent_rank_value`` precedent);
+    the driver folds the tiny grid in numpy."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"event_type": t["event_type"], "c": _cents(t["value"])})
+            .group_by(["event_type", "c"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "c", "n"])
+        )
+
+    rows = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    types = sorted({r["event_type"] for r in rows})
+    grid = np.array(sorted({int(r["c"]) for r in rows}), dtype=np.int64)
+    counts = {ty: np.zeros(grid.size, dtype=np.int64) for ty in types}
+    for r in rows:
+        counts[r["event_type"]][np.searchsorted(grid, int(r["c"]))] += int(r["n"])
+    total_at = np.zeros(grid.size, dtype=np.int64)
+    for ty in types:
+        total_at += counts[ty]
+    cum_total = np.cumsum(total_at)
+    n_all = int(cum_total[-1]) if grid.size else 0
+
+    out_ty, out_n, out_num, out_ks = [], [], [], []
+    for ty in types:
+        cum1 = np.cumsum(counts[ty])
+        n1 = int(cum1[-1])
+        n2 = n_all - n1
+        cum2 = cum_total - cum1
+        num = int(np.abs(cum1 * n2 - cum2 * n1).max()) if n1 and n2 else 0
+        ks = (
+            float(np.floor(float(num) / float(n1 * n2) * 1e6) / 1e6)
+            if n1 and n2
+            else 0.0
+        )
+        out_ty.append(ty)
+        out_n.append(n1)
+        out_num.append(num)
+        out_ks.append(ks)
+    return pa.table(
+        {
+            "event_type": pa.array(out_ty, type=pa.string()),
+            "n": pa.array(out_n, type=pa.int64()),
+            "ks_num": pa.array(out_num, type=pa.int64()),
+            "ks": pa.array(out_ks, type=pa.float64()),
+        }
+    )
+
+
+Q_KS_BY_EVENT_TYPE_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, c
+), grid AS (
+  SELECT DISTINCT c FROM h
+), types AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n1 FROM h GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM h
+), cells AS (
+  SELECT t.event_type, g.c, t.n1, COALESCE(h.n, 0) AS n
+  FROM types t CROSS JOIN grid g
+  LEFT JOIN h ON h.event_type = t.event_type AND h.c = g.c
+), cum1s AS (
+  SELECT event_type, c, n1,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum1
+  FROM cells
+), gcum AS (
+  SELECT c, CAST(SUM(n2) OVER (ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_all
+  FROM (SELECT c, SUM(n) AS n2 FROM h GROUP BY c)
+)
+SELECT a.event_type,
+       a.n1 AS n,
+       CAST(MAX(ABS(a.cum1 * (t.n_all - a.n1)
+                    - (g.cum_all - a.cum1) * a.n1)) AS BIGINT) AS ks_num,
+       FLOOR(CAST(MAX(ABS(a.cum1 * (t.n_all - a.n1)
+                          - (g.cum_all - a.cum1) * a.n1)) AS DOUBLE)
+             / (a.n1 * (t.n_all - a.n1)) * 1000000) / 1000000 AS ks
+FROM cum1s a JOIN gcum g USING (c) CROSS JOIN tot t
+GROUP BY a.event_type, a.n1, t.n_all
+"""

@@ -682,3 +682,23 @@ def test_unicode_audit_nfc_and_control(tmp_path):
     assert list(out["is_nfc"]) == [True, False, True, True, True, True]
     assert list(out["n_nonascii"]) == [0, 1, 1, 0, 0, 2]
     assert list(out["n_control"]) == [0, 0, 0, 2, 0, 0]
+
+
+def test_ks_by_event_type_hand_value(tmp_path):
+    """Two disjoint distributions: type A all at 1.00, type B all at
+    2.00 -> KS = 1.0 both ways; a mixed type C at both values vs an
+    equal rest gives a hand-computable supremum."""
+    from tests.test_round3_breadth import _write_events
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_ks_by_event_type,
+    )
+
+    vals = [1.0] * 4 + [2.0] * 4
+    types = ["A"] * 4 + ["B"] * 4
+    sf = _write_events(
+        tmp_path, list(range(8)), [0] * 8, vals, event_type=types
+    )
+    out = q_ks_by_event_type(sf).to_pandas().set_index("event_type")
+    # A vs rest: at c=100 ECDF_A=1, ECDF_B=0 -> KS=1; num = 4*4
+    assert out.loc["A", "ks"] == 1.0 and out.loc["A", "ks_num"] == 16
+    assert out.loc["B", "ks"] == 1.0 and out.loc["B", "n"] == 4
