@@ -2142,3 +2142,88 @@ SELECT a.event_type,
 FROM cum1s a JOIN gcum g USING (c) CROSS JOIN tot t
 GROUP BY a.event_type, a.n1, t.n_all
 """
+
+
+# ---------------------------------------------------------------------------
+# Path mining: top per-user event-type trigrams (3-step journeys)
+# ---------------------------------------------------------------------------
+
+def q_event_paths(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Most frequent 3-step event-type journeys across all users — the
+    sequence-mining extension of ``q_event_transitions``' bigram
+    matrix (PrefixSpan-lite for fixed length 3).
+
+    Same coarse-bucket shape: one lexsort per user-hash bucket, two
+    shifted comparisons produce every in-user consecutive triple
+    vectorized (dictionary codes packed base-|types|), per-bucket
+    partial counts keep the final groupby at <= |types|^3 rows, and the
+    top-k is a bounded sort."""
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+
+    out_schema = pa.schema(
+        [
+            ("step1", pa.string()),
+            ("step2", pa.string()),
+            ("step3", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def triples(g: pa.Table) -> pa.Table:
+        if g.num_rows < 3:
+            return out_schema.empty_table()
+        g = g.combine_chunks()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].dictionary_encode()
+        et = et.chunk(0) if isinstance(et, pa.ChunkedArray) else et
+        code = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, code = u[order], code[order]
+        same3 = (u[2:] == u[:-2]) & (u[1:-1] == u[:-2])
+        c1, c2, c3 = code[:-2][same3], code[1:-1][same3], code[2:][same3]
+        if c1.size == 0:
+            return out_schema.empty_table()
+        ntypes = int(code.max()) + 1
+        uniq, cnt = np.unique(
+            (c1 * ntypes + c2) * ntypes + c3, return_counts=True
+        )
+        lut = et.dictionary.cast(pa.string())
+        return pa.table(
+            {
+                "step1": lut.take(pa.array(uniq // (ntypes * ntypes))),
+                "step2": lut.take(pa.array((uniq // ntypes) % ntypes)),
+                "step3": lut.take(pa.array(uniq % ntypes)),
+                "n": pa.array(cnt.astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    partials = bucket_grouped(ds, "user_id").map_groups(
+        triples, batch_format="pyarrow"
+    )
+    return (
+        partials.groupby(["step1", "step2", "step3"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "step1", "step2", "step3"], descending=[True, False, False, False])
+        .limit(k)
+    )
+
+
+Q_EVENT_PATHS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type AS step1,
+         LEAD(event_type, 1) OVER w AS step2,
+         LEAD(event_type, 2) OVER w AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+GROUP BY step1, step2, step3
+ORDER BY n DESC, step1, step2, step3
+LIMIT 10
+"""

@@ -702,3 +702,26 @@ def test_ks_by_event_type_hand_value(tmp_path):
     # A vs rest: at c=100 ECDF_A=1, ECDF_B=0 -> KS=1; num = 4*4
     assert out.loc["A", "ks"] == 1.0 and out.loc["A", "ks_num"] == 16
     assert out.loc["B", "ks"] == 1.0 and out.loc["B", "n"] == 4
+
+
+def test_event_paths_triples_respect_user_and_order(tmp_path):
+    """Triples never cross users; arrival order is (ts, event_id)."""
+    from tests.test_round3_breadth import _write_events
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_event_paths,
+    )
+
+    # user 0: A B C A B C -> ABC x2, BCA, CAB; user 1: A B (too short)
+    ts = [10, 20, 30, 40, 50, 60, 10, 20]
+    users = [0, 0, 0, 0, 0, 0, 1, 1]
+    types = ["A", "B", "C", "A", "B", "C", "A", "B"]
+    sf = _write_events(tmp_path, ts, users, [1.0] * 8, event_type=types)
+    out = q_event_paths(sf).to_pandas()
+    got = {
+        (r.step1, r.step2, r.step3): r.n for r in out.itertuples()
+    }
+    assert got == {
+        ("A", "B", "C"): 2,
+        ("B", "C", "A"): 1,
+        ("C", "A", "B"): 1,
+    }
