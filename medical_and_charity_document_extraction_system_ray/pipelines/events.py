@@ -2227,3 +2227,165 @@ GROUP BY step1, step2, step3
 ORDER BY n DESC, step1, step2, step3
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness: calendar-grain distinct-user rollup
+# ---------------------------------------------------------------------------
+
+def q_dau_mau_stickiness(sf_dir: str) -> ray.data.Dataset:
+    """Per month: mean daily active users, monthly active users, and
+    the DAU/MAU stickiness ratio — the activation report every events
+    pipeline ships.
+
+    Exactness + scale: the only corpus-sized shuffle is the distinct
+    (day, user) pair groupby (per-batch dedup partials first, so the
+    shuffle moves distinct pairs, never events); MAU needs distinct
+    (month, user), derived from the SAME day-level pairs (a (day,user)
+    pair implies its (month,user) pair) with a second distinct-collapse
+    — events are never re-scanned.  The final per-month fold is a
+    bounded groupby; mean-DAU and stickiness are single double
+    divisions on the 1e-6 grid."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = (
+            pa.table({"day": day, "user_id": t["user_id"]})
+            .group_by(["day", "user_id"])
+            .aggregate([])
+        )
+        return g
+
+    pairs = (
+        ds.map_batches(day_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def per_day(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("day", pa.timestamp("us")), ("dau", pa.int64())]
+            ).empty_table()
+        g = (
+            t.select(["day"]).group_by("day").aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "day": pc.cast(g["day"], pa.timestamp("us")),
+                "dau": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def month_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("month", pa.timestamp("us")), ("user_id", pa.int64())]
+            ).empty_table()
+        month = pc.floor_temporal(pc.cast(t["day"], pa.timestamp("us")), unit="month")
+        return (
+            pa.table({"month": month, "user_id": t["user_id"]})
+            .group_by(["month", "user_id"])
+            .aggregate([])
+        )
+
+    dau_by_month = (
+        pairs.map_batches(per_day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("dau", alias_name="dau"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "month": pc.floor_temporal(
+                        pc.cast(t["day"], pa.timestamp("us")), unit="month"
+                    ),
+                    "dau": pc.cast(t["dau"], pa.int64()),
+                    "one": pa.array(np.ones(len(t), np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("month")
+        .aggregate(
+            Sum("dau", alias_name="dau_sum"), Sum("one", alias_name="n_days")
+        )
+    )
+    mau = (
+        pairs.map_batches(month_pairs, batch_format="pyarrow")
+        .groupby(["month", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "month": pc.cast(t["month"], pa.timestamp("us")),
+                    "mau_one": pa.array(np.ones(len(t), np.int64)),
+                }
+            )
+            if t.num_rows
+            else pa.schema(
+                [("month", pa.timestamp("us")), ("mau_one", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+        .groupby("month")
+        .aggregate(Sum("mau_one", alias_name="mau"))
+    )
+
+    joined = dau_by_month.repartition(4).join(
+        mau.repartition(4), join_type="inner", num_partitions=4, on=("month",)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("month", pa.timestamp("us")),
+                    ("n_days", pa.int64()),
+                    ("mau", pa.int64()),
+                    ("mean_dau", pa.float64()),
+                    ("stickiness", pa.float64()),
+                ]
+            ).empty_table()
+        ds_ = t["dau_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t["n_days"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mau_ = t["mau"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mean_dau = np.floor(ds_ / nd.astype(np.float64) * 1e6) / 1e6
+        stick = np.floor(
+            ds_ / nd.astype(np.float64) / mau_.astype(np.float64) * 1e6
+        ) / 1e6
+        return pa.table(
+            {
+                "month": pc.cast(t["month"], pa.timestamp("us")),
+                "n_days": pa.array(nd),
+                "mau": pa.array(mau_),
+                "mean_dau": pa.array(mean_dau),
+                "stickiness": pa.array(stick),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+Q_DAU_MAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+), dm AS (
+  SELECT date_trunc('month', day) AS month,
+         CAST(SUM(dau) AS BIGINT) AS dau_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM dau GROUP BY month
+), mau AS (
+  SELECT date_trunc('month', day) AS month,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM du GROUP BY month
+)
+SELECT dm.month, dm.n_days, mau.mau,
+       FLOOR(CAST(dm.dau_sum AS DOUBLE) / dm.n_days * 1000000) / 1000000
+         AS mean_dau,
+       FLOOR(CAST(dm.dau_sum AS DOUBLE) / dm.n_days / mau.mau * 1000000)
+         / 1000000 AS stickiness
+FROM dm JOIN mau USING (month)
+"""

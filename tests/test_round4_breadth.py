@@ -725,3 +725,35 @@ def test_event_paths_triples_respect_user_and_order(tmp_path):
         ("B", "C", "A"): 1,
         ("C", "A", "B"): 1,
     }
+
+
+def test_dau_mau_stickiness_two_months(tmp_path):
+    """Hand case across a month boundary: Jan has 2 active days
+    (DAU 2 then 1, MAU 2), Feb has 1 day (DAU 1, MAU 1); repeat
+    events on one day must not inflate DAU."""
+    from tests.test_round3_breadth import _write_events
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_dau_mau_stickiness,
+    )
+    import datetime as dt
+
+    def us(y, m, d, h=0):
+        return int(
+            dt.datetime(y, m, d, h, tzinfo=dt.timezone.utc).timestamp() * 1e6
+        )
+
+    ts = [
+        us(2024, 1, 1), us(2024, 1, 1, 5), us(2024, 1, 1, 9),  # day1: u0,u0,u1
+        us(2024, 1, 20),                                        # day2: u0
+        us(2024, 2, 3),                                         # feb: u1
+    ]
+    users = [0, 0, 1, 0, 1]
+    sf = _write_events(tmp_path, ts, users, [1.0] * 5)
+    out = (
+        q_dau_mau_stickiness(sf).to_pandas().sort_values("month").reset_index(drop=True)
+    )
+    jan, feb = out.iloc[0], out.iloc[1]
+    assert jan["n_days"] == 2 and jan["mau"] == 2
+    assert jan["mean_dau"] == np.floor(3 / 2 * 1e6) / 1e6
+    assert jan["stickiness"] == np.floor(3 / 2 / 2 * 1e6) / 1e6
+    assert feb["n_days"] == 1 and feb["mau"] == 1 and feb["stickiness"] == 1.0
