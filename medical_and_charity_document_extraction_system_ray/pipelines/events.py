@@ -2257,10 +2257,17 @@ def q_dau_mau_stickiness(sf_dir: str) -> ray.data.Dataset:
         )
         return g
 
+    # two consumers (DAU and MAU) read the pair set; without the
+    # materialize Ray re-executes the events scan per consumer.  The
+    # pinned set is the DISTINCT (day, user) pairs — bounded by
+    # users x active-days, orders of magnitude below the event stream —
+    # which is exactly the "small result" case where mid-pipeline
+    # materialization is the right trade.
     pairs = (
         ds.map_batches(day_pairs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["day", "user_id"])
         .aggregate(Count(alias_name="_c"))
+        .materialize()
     )
 
     def per_day(t: pa.Table) -> pa.Table:
