@@ -2136,9 +2136,10 @@ SELECT a.event_type,
        a.n1 AS n,
        CAST(MAX(ABS(a.cum1 * (t.n_all - a.n1)
                     - (g.cum_all - a.cum1) * a.n1)) AS BIGINT) AS ks_num,
-       FLOOR(CAST(MAX(ABS(a.cum1 * (t.n_all - a.n1)
-                          - (g.cum_all - a.cum1) * a.n1)) AS DOUBLE)
-             / (a.n1 * (t.n_all - a.n1)) * 1000000) / 1000000 AS ks
+       CASE WHEN t.n_all - a.n1 = 0 THEN 0.0
+            ELSE FLOOR(CAST(MAX(ABS(a.cum1 * (t.n_all - a.n1)
+                               - (g.cum_all - a.cum1) * a.n1)) AS DOUBLE)
+                 / (a.n1 * (t.n_all - a.n1)) * 1000000) / 1000000 END AS ks
 FROM cum1s a JOIN gcum g USING (c) CROSS JOIN tot t
 GROUP BY a.event_type, a.n1, t.n_all
 """

@@ -757,3 +757,15 @@ def test_dau_mau_stickiness_two_months(tmp_path):
     assert jan["mean_dau"] == np.floor(3 / 2 * 1e6) / 1e6
     assert jan["stickiness"] == np.floor(3 / 2 / 2 * 1e6) / 1e6
     assert feb["n_days"] == 1 and feb["mau"] == 1 and feb["stickiness"] == 1.0
+
+
+def test_ks_single_type_degenerate(tmp_path):
+    """A single-type corpus has no 'rest' sample: KS pinned to 0."""
+    from tests.test_round3_breadth import _write_events
+    from medical_and_charity_document_extraction_system_ray.pipelines.events import (
+        q_ks_by_event_type,
+    )
+
+    sf = _write_events(tmp_path, [1, 2, 3], [0, 0, 0], [1.0, 2.0, 3.0])
+    out = q_ks_by_event_type(sf).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["ks"] == 0.0 and out.iloc[0]["ks_num"] == 0
