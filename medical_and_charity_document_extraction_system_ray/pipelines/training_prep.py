@@ -797,9 +797,10 @@ def q_corpus_prep(sf_dir: str) -> ray.data.Dataset:
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
-    # global bounded source registry, broadcast once (must stay < 64
-    # entries for the composite; a wider registry just widens the
-    # multiplier)
+    # global bounded source registry, broadcast once; the composite
+    # multiplier scales with it (power of two >= registry size), so a
+    # wider registry just uses more low bits — the only ceiling is
+    # doc_id * K < 2^63
     src_reg = sorted(
         {
             r["source"]
@@ -813,11 +814,13 @@ def q_corpus_prep(sf_dir: str) -> ray.data.Dataset:
             .take_all()
         }
     )
-    assert len(src_reg) < 64, "widen the composite multiplier"
-    reg_ref = ray.put(np.array(src_reg))
+    mult = 1
+    while mult < len(src_reg):
+        mult *= 2
+    reg_ref = ray.put((np.array(src_reg), mult))
 
     def partial(t: pa.Table) -> pa.Table:
-        reg = ray.get(reg_ref)
+        reg, mult_ = ray.get(reg_ref)
         text = t["text"].combine_chunks()
         ntok = token_count(text).to_numpy(zero_copy_only=False).astype(np.int64)
         nosp = char_counts_nospace(text).to_numpy(zero_copy_only=False).astype(
@@ -833,9 +836,9 @@ def q_corpus_prep(sf_dir: str) -> ray.data.Dataset:
                 "ntok": pa.array(ntok),
             }
         ).filter(pa.array(keep))
-        # composite keeper key: doc_id * 64 + GLOBAL source index; min
-        # over the composite = min doc_id (doc_id is unique), and the
-        # keeper's source decodes from k % 64 downstream — no join back
+        # composite keeper key: doc_id * mult + GLOBAL source index;
+        # min over the composite = min doc_id (doc_id is unique), and
+        # the keeper's source decodes from k % mult — no join back
         sidx = np.searchsorted(
             reg, t2["source"].to_numpy(zero_copy_only=False)
         ).astype(np.int64)
@@ -843,7 +846,7 @@ def q_corpus_prep(sf_dir: str) -> ray.data.Dataset:
         comp = pa.table(
             {
                 "h": t2["h"],
-                "k": pa.array(did * 64 + sidx),
+                "k": pa.array(did * mult_ + sidx),
                 "ntok": t2["ntok"],
             }
         )
@@ -867,11 +870,11 @@ def q_corpus_prep(sf_dir: str) -> ray.data.Dataset:
             return pa.schema(
                 [("source", pa.string()), ("one", pa.int64()), ("ntok", pa.int64())]
             ).empty_table()
-        reg = ray.get(reg_ref)
+        reg, mult_ = ray.get(reg_ref)
         k = t["k"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "source": pa.array(reg[(k % 64).astype(np.int64)]),
+                "source": pa.array(reg[(k % mult_).astype(np.int64)]),
                 "one": pa.array(np.ones(len(t), np.int64)),
                 "ntok": pc.cast(t["ntok"], pa.int64()),
             }
