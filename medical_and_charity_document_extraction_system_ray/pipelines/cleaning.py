@@ -1054,12 +1054,14 @@ def q_quality_auc(sf_dir: str) -> pa.Table:
     vectorized run-length resolve into per-score (pos, neg) doc counts
     (pos = copies of a text that occurs > 1x, neg = unique texts);
     (3) a groupby over the score grid — bounded by the score DOMAIN
-    (distinct 1e-6-grid ratios), not the corpus; (4) the driver folds
-    the tiny histogram into the single AUC scalar with an integer
-    prefix sum (same domain-bounded-histogram precedent as
-    ``q_percent_rank_value``).  AUC = sum_s pos_s*(2*cumneg_<s + neg_s)
-    / (2*P*N) is exact integer arithmetic until one final double
-    division, mirrored term-for-term by the SQL oracle."""
+    (distinct 1e-6-grid ratios), not the corpus; (4) a bucketed
+    two-level fold (per-bucket inner terms + cross terms against the
+    buckets' exclusive neg offsets) so the DRIVER sees one row per
+    score bucket, never the raw histogram — the same offset algebra as
+    ``q_global_running_revenue``.  AUC = sum_s pos_s*(2*cumneg_<s +
+    neg_s) / (2*P*N) is exact integer arithmetic until one final
+    double division, mirrored term-for-term by the SQL oracle
+    (``_auc_fold`` is the property-tested single-node spec)."""
     from ..functions.text import char_counts_nospace, fingerprint64
 
     ds = read_table(sf_dir, "documents", columns=["text"])
@@ -1120,11 +1122,72 @@ def q_quality_auc(sf_dir: str) -> pa.Table:
         .map_groups(resolve, batch_format="pyarrow")
         .groupby("su")
         .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
+    )
+
+    # two-level fold: the exact num2 = sum_s pos_s*(2*cumneg_<s+neg_s)
+    # decomposes into per-BUCKET inner terms plus a cross term against
+    # the buckets' exclusive neg offsets, so the driver only ever sees
+    # one row per score bucket (su // 2^20 — a few hundred buckets for
+    # any text-derived ratio), never the raw score histogram.
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("sb", pa.int64()),
+                    ("su", pa.int64()),
+                    ("pos", pa.int64()),
+                    ("neg", pa.int64()),
+                ]
+            ).empty_table()
+        su_np = t["su"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sb": pa.array((su_np // (1 << 20)).astype(np.int64)),
+                "su": pc.cast(t["su"], pa.int64()),
+                "pos": pc.cast(t["pos"], pa.int64()),
+                "neg": pc.cast(t["neg"], pa.int64()),
+            }
+        )
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        su_np = g["su"].to_numpy(zero_copy_only=False)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        neg = g["neg"].to_numpy(zero_copy_only=False)
+        order = np.argsort(su_np, kind="stable")
+        p_s, n_s = pos[order], neg[order]
+        cumneg_in = np.concatenate([[0], np.cumsum(n_s)[:-1]])
+        inner = int((p_s * (2 * cumneg_in + n_s)).sum())
+        return pa.table(
+            {
+                "sb": pa.array([int(g["sb"][0].as_py())], type=pa.int64()),
+                "inner": pa.array([inner], type=pa.int64()),
+                "pos": pa.array([int(p_s.sum())], type=pa.int64()),
+                "neg": pa.array([int(n_s.sum())], type=pa.int64()),
+            }
+        )
+
+    buckets = (
+        hist.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(bucket_fold, batch_format="pyarrow")
         .take_all()
     )
-    num2, p_tot, n_tot, auc = _auc_fold(
-        [(int(r["su"]), int(r["pos"]), int(r["neg"])) for r in hist]
-    )
+    buckets.sort(key=lambda r: r["sb"])
+    num2 = 0
+    negoff = 0
+    p_tot = 0
+    n_tot = 0
+    for r in buckets:  # one row per score bucket
+        num2 += int(r["inner"]) + 2 * int(r["pos"]) * negoff
+        negoff += int(r["neg"])
+        p_tot += int(r["pos"])
+        n_tot += int(r["neg"])
+    if p_tot > 0 and n_tot > 0:
+        auc = float(
+            np.floor(float(num2) / float(2 * p_tot * n_tot) * 1e6) / 1e6
+        )
+    else:
+        auc = 0.0
     return pa.table(
         {
             "pos_docs": pa.array([p_tot], type=pa.int64()),
