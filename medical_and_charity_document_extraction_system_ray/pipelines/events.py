@@ -2263,7 +2263,10 @@ def q_dau_mau_stickiness(sf_dir: str) -> ray.data.Dataset:
     # pinned set is the DISTINCT (day, user) pairs — bounded by
     # users x active-days, orders of magnitude below the event stream —
     # which is exactly the "small result" case where mid-pipeline
-    # materialization is the right trade.
+    # materialization is the right trade.  (If even the pair set
+    # outgrew the object store — 10^9 users x 365 days — drop the
+    # materialize and pay the second streaming scan instead; both
+    # consumers remain one-pass streaming shapes.)
     pairs = (
         ds.map_batches(day_pairs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["day", "user_id"])
