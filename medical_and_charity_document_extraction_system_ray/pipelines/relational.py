@@ -2386,3 +2386,145 @@ GROUP BY s_name
 ORDER BY n_blame DESC, s_name
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan foreign keys across the star schema
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
+    """Warehouse referential-integrity audit: per foreign-key edge of
+    the star schema, the child row count and how many child rows point
+    at a parent key that does not exist — the ingest health check run
+    before any join is trusted.
+
+    Scale shape per edge: the child side collapses to DISTINCT
+    (fk, row-count) partials per batch before ONE keyed groupby, the
+    parent contributes only its key column, and the orphan test is a
+    hash LEFT OUTER join between those two key-sized streams (never a
+    broadcast of a fact-table key set — ``orders`` is not a dim).  The
+    four per-edge results are unioned; each is two small shuffles of
+    ~16 B rows."""
+    results = []
+    for name, child, fk, parent, pk in _FK_EDGES:
+        ch = read_table(sf_dir, child, columns=[fk])
+
+        def child_partial(t: pa.Table, _fk=fk) -> pa.Table:
+            g = t.group_by(_fk).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "k": pc.cast(g[_fk], pa.int64()),
+                    "n": pc.cast(g["count_all"], pa.int64()),
+                }
+            )
+
+        child_keys = (
+            ch.map_batches(child_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        parent_ds = read_table(sf_dir, parent, columns=[pk])
+        if parent_ds.count() == 0:  # parquet metadata count, no scan
+            # degenerate all-orphan edge: an empty parent leaves Ray's
+            # hash join without a right-side schema (zero-column empty
+            # blocks) — mark every child key missing instead
+            joined = child_keys.map_batches(
+                lambda t: t.append_column(
+                    "present", pa.array([None] * t.num_rows, pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            pr = parent_ds.map_batches(
+                lambda t, _pk=pk: pa.table(
+                    {
+                        "k": pc.cast(pc.unique(t[_pk].combine_chunks()), pa.int64()),
+                        "present": pa.array(
+                            np.ones(len(pc.unique(t[_pk].combine_chunks())), np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            joined = child_keys.repartition(4).join(
+                pr.repartition(4), join_type="left_outer", num_partitions=4, on=("k",)
+            )
+
+        def fold(t: pa.Table, _name=name) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.schema(
+                    [
+                        ("edge", pa.string()),
+                        ("n_child", pa.int64()),
+                        ("n_orphan", pa.int64()),
+                    ]
+                ).empty_table()
+            n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            miss = pc.is_null(t["present"]).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "edge": pa.array([_name]),
+                    "n_child": pa.array([int(n.sum())]),
+                    "n_orphan": pa.array([int(n[miss].sum())]),
+                }
+            )
+
+        results.append(
+            joined.map_batches(fold, batch_format="pyarrow")
+            .groupby("edge")
+            .aggregate(
+                Sum("n_child", alias_name="n_child"),
+                Sum("n_orphan", alias_name="n_orphan"),
+            )
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "edge": t["edge"],
+                "n_child": pc.cast(t["n_child"], pa.int64()),
+                "n_orphan": pc.cast(t["n_orphan"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q_FK_AUDIT_SQL = """
+SELECT 'lineitem->orders' AS edge,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders
+            WHERE o_orderkey = l_orderkey) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan
+FROM lineitem
+UNION ALL
+SELECT 'lineitem->part',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM part
+            WHERE p_partkey = l_partkey) THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem->supplier',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier
+            WHERE s_suppkey = l_suppkey) THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders->customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM customer
+            WHERE c_custkey = o_custkey) THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+"""

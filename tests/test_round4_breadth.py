@@ -769,3 +769,51 @@ def test_ks_single_type_degenerate(tmp_path):
     sf = _write_events(tmp_path, [1, 2, 3], [0, 0, 0], [1.0, 2.0, 3.0])
     out = q_ks_by_event_type(sf).to_pandas()
     assert len(out) == 1 and out.iloc[0]["ks"] == 0.0 and out.iloc[0]["ks_num"] == 0
+
+
+def test_fk_audit_counts_orphans(tmp_path):
+    """Inject one orphan lineitem (missing order) and one orphan order
+    (missing customer); counts land on the right edges."""
+    import pyarrow.parquet as pq2
+
+    from medical_and_charity_document_extraction_system_ray.pipelines.relational import (
+        q_fk_audit,
+    )
+
+    pq2.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 99], pa.int64()),  # 99 orphan
+                "l_partkey": pa.array([10, 10, 10], pa.int64()),
+                "l_suppkey": pa.array([5, 5, 5], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq2.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_custkey": pa.array([77], pa.int64()),  # orphan customer
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq2.write_table(
+        pa.table({"p_partkey": pa.array([10], pa.int64())}),
+        str(tmp_path / "part.parquet"),
+    )
+    pq2.write_table(
+        pa.table({"s_suppkey": pa.array([5], pa.int64())}),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq2.write_table(
+        pa.table({"c_custkey": pa.array([], pa.int64())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    out = q_fk_audit(str(tmp_path)).to_pandas().set_index("edge")
+    assert out.loc["lineitem->orders", "n_orphan"] == 1
+    assert out.loc["lineitem->orders", "n_child"] == 3
+    assert out.loc["lineitem->part", "n_orphan"] == 0
+    assert out.loc["lineitem->supplier", "n_orphan"] == 0
+    assert out.loc["orders->customer", "n_orphan"] == 1
