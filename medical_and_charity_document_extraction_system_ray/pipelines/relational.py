@@ -574,7 +574,6 @@ def q_revenue_rollup(sf_dir: str) -> ray.data.Dataset:
 
     detail = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("price_c_sum", alias_name="c"))
     )
@@ -1125,7 +1124,6 @@ def q_revenue_cube(sf_dir: str) -> ray.data.Dataset:
 
     detail = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("price_c_sum", alias_name="c"))
     )
@@ -2342,10 +2340,19 @@ def q_blame_suppliers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
             .group_by("r_skey")
             .aggregate([([], "count_all")])
         )
-        pos = np.searchsorted(keys, g["r_skey"].to_numpy(zero_copy_only=False))
+        skey = g["r_skey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, skey)
+        # inner-join semantics: a blamed suppkey absent from the
+        # supplier table (orphan FK) must be dropped, not clamped to a
+        # neighbouring name or indexed past the end
+        ok = pos < len(keys)
+        ok[ok] = keys[pos[ok]] == skey[ok]
+        if not ok.all():
+            g = g.filter(pa.array(ok))
+            pos = pos[ok]
         return pa.table(
             {
-                "s_name": names.take(pa.array(pos)),
+                "s_name": names.take(pa.array(pos, type=pa.int64())),
                 "n": pc.cast(g["count_all"], pa.int64()),
             }
         )
@@ -2443,17 +2450,21 @@ def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
                 batch_format="pyarrow",
             )
         else:
-            pr = parent_ds.map_batches(
-                lambda t, _pk=pk: pa.table(
-                    {
-                        "k": pc.cast(pc.unique(t[_pk].combine_chunks()), pa.int64()),
-                        "present": pa.array(
-                            np.ones(len(pc.unique(t[_pk].combine_chunks())), np.int64)
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
+
+            def parent_partial(t: pa.Table, _pk=pk) -> pa.Table:
+                u = pc.cast(pc.unique(t[_pk].combine_chunks()), pa.int64())
+                return pa.table({"k": u})
+
+            # per-batch unique is only a combiner: a parent PK repeated
+            # ACROSS blocks would multiply child rows through the join
+            # and inflate the audit — the groupby makes the distinct
+            # global (the integrity check must not trust parent PKs)
+            pr = (
+                parent_ds.map_batches(
+                    parent_partial, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby("k")
+                .aggregate(Count(alias_name="present"))
             )
             joined = child_keys.repartition(4).join(
                 pr.repartition(4), join_type="left_outer", num_partitions=4, on=("k",)
