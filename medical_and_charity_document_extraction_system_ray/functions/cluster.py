@@ -1,0 +1,46 @@
+"""Cluster-size-derived fan-out for coarse-bucket shuffles.
+
+The window/dedup family shuffles on ``hash(key) % nbuckets`` (see
+``functions/segments.py``): the bucket count bounds how many reduce
+groups exist, i.e. the maximum reduce-side parallelism of the whole
+family.  A fixed 64 is right on a 32-CPU box but caps a 100x-scale
+cluster at 64 concurrent groups — so the fan-out is derived from the
+live cluster's CPU count (pattern proven by
+``pipelines/extraction.py:_default_repartition_blocks``).
+
+Resolve the value ON THE DRIVER at query-build time and capture it in
+batch closures: every batch of one query must agree on ``nbuckets``
+(rows of one key must co-locate), and driver-side resolution keeps the
+value stable even if the cluster resizes mid-run.
+"""
+
+from __future__ import annotations
+
+import ray
+
+_DEFAULT_CPUS = 8
+
+
+def cluster_cpus(default: int = _DEFAULT_CPUS) -> int:
+    """Total CPU count of the connected Ray cluster (``default`` when
+    no session is up yet, e.g. plan-building in unit tests)."""
+    try:
+        if ray.is_initialized():
+            return max(1, int(ray.cluster_resources().get("CPU", default)))
+    except Exception:
+        pass
+    return default
+
+
+def derive_buckets(
+    per_cpu: int = 4, min_buckets: int = 64, cap: int = 65536
+) -> int:
+    """Coarse-bucket fan-out: ``clamp(per_cpu x cluster CPUs,
+    [min_buckets, cap])``.
+
+    ``per_cpu=4`` keeps ~4 reduce groups in flight per core (straggler
+    damping without per-group python overhead); ``min_buckets=64``
+    preserves the tuned single-node behaviour; the cap only guards
+    against pathological resource reports — at 64k buckets a 16 B
+    bucket row stream is still >> per-group overhead."""
+    return min(cap, max(min_buckets, per_cpu * cluster_cpus()))

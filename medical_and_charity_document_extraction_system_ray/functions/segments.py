@@ -25,15 +25,17 @@ import numpy as np
 import pyarrow as pa
 
 # coarse shuffle-key fan-out: bounded group count (so map_groups makes
-# O(_KEY_BUCKETS) python calls, not O(#keys)) while still spreading a
-# bucket's work across the cluster.  At 100 TB raise this toward
-# cluster parallelism; the kernels are invariant to it.
-_KEY_BUCKETS = 64
+# O(nbuckets) python calls, not O(#keys)) while still spreading a
+# bucket's work across the cluster.  Derived from live cluster CPUs
+# (floor 64 = the tuned single-node value); the kernels are invariant
+# to it.  None = resolve via functions.cluster.derive_buckets() on the
+# driver at plan-build time, so all batches of one query agree.
+from .cluster import derive_buckets
 
 _MULT = np.int64(-1640531527)  # 2654435761 as a signed 64-bit literal
 
 
-def add_bucket(t: pa.Table, key: str, nbuckets: int = _KEY_BUCKETS) -> pa.Table:
+def add_bucket(t: pa.Table, key: str, nbuckets: int) -> pa.Table:
     """Append ``bucket = hash(key) % nbuckets`` (multiplicative hash so
     sequential id spaces spread evenly; mod-2^64 wraparound intended)."""
     k = t[key].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
@@ -42,7 +44,7 @@ def add_bucket(t: pa.Table, key: str, nbuckets: int = _KEY_BUCKETS) -> pa.Table:
     return t.append_column("bucket", pa.array(b % np.int64(nbuckets)))
 
 
-def add_bucket_str(t: pa.Table, key: str, nbuckets: int = _KEY_BUCKETS) -> pa.Table:
+def add_bucket_str(t: pa.Table, key: str, nbuckets: int) -> pa.Table:
     """``add_bucket`` for STRING keys (stable_hash64 over UTF-8 bytes)."""
     from .text import stable_hash64
 
@@ -52,19 +54,21 @@ def add_bucket_str(t: pa.Table, key: str, nbuckets: int = _KEY_BUCKETS) -> pa.Ta
     )
 
 
-def bucket_grouped_str(ds, key: str, nbuckets: int = _KEY_BUCKETS):
+def bucket_grouped_str(ds, key: str, nbuckets: int | None = None):
     """``bucket_grouped`` for STRING keys."""
+    nb = int(nbuckets) if nbuckets else derive_buckets()
     return ds.map_batches(
-        lambda t: add_bucket_str(t, key, nbuckets),
+        lambda t: add_bucket_str(t, key, nb),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).groupby("bucket")
 
 
-def bucket_grouped(ds, key: str, nbuckets: int = _KEY_BUCKETS):
+def bucket_grouped(ds, key: str, nbuckets: int | None = None):
     """``ds`` → grouped-by-coarse-bucket dataset (the one keyed shuffle)."""
+    nb = int(nbuckets) if nbuckets else derive_buckets()
     return ds.map_batches(
-        lambda t: add_bucket(t, key, nbuckets),
+        lambda t: add_bucket(t, key, nb),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).groupby("bucket")

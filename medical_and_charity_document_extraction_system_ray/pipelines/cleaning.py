@@ -22,6 +22,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..functions.text import floor6, token_count
+from ..functions.cluster import derive_buckets
 from ..sources.readers import read_table
 
 
@@ -406,7 +407,6 @@ FROM terms GROUP BY source
 
 _SEG_LEN = 8
 _SEG_P = np.uint64(1099511628211)
-_SEG_BUCKETS = 64
 
 
 def q_segment_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
@@ -429,6 +429,9 @@ def q_segment_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
     from .dedup import _token_hashes_per_row
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # fan-out derived from live cluster CPUs on the DRIVER (all batches
+    # of one query must agree on nb); results are invariant to nb
+    nb = derive_buckets()
     weights = _SEG_P ** np.arange(_SEG_LEN - 1, -1, -1, dtype=np.uint64)
 
     mid_schema = pa.schema(
@@ -472,18 +475,18 @@ def q_segment_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
         hi = hu.view(np.int64)
         seg_part = pa.table(
             {
-                "bucket": pa.array((hu % np.uint64(_SEG_BUCKETS)).astype(np.int64)),
+                "bucket": pa.array((hu % np.uint64(nb)).astype(np.int64)),
                 "seg_hash": pa.array(hi),
                 "doc_id": pa.array(du.astype(np.int64)),
                 "occ": pa.array(occ.astype(np.int64)),
             },
             schema=mid_schema,
         )
-        # per-doc stats ride the same table: bucket >= _SEG_BUCKETS,
+        # per-doc stats ride the same table: bucket >= nb,
         # seg_hash carries n_tokens, occ carries n_segments
         stats_part = pa.table(
             {
-                "bucket": pa.array(_SEG_BUCKETS + (doc_np % _SEG_BUCKETS)),
+                "bucket": pa.array(nb + (doc_np % nb)),
                 "seg_hash": pa.array(n_tok),
                 "doc_id": pa.array(doc_np),
                 "occ": pa.array(n_seg),
@@ -506,7 +509,7 @@ def q_segment_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
     def resolve(g: "pd.DataFrame") -> pa.Table:
         if len(g) == 0:
             return part_schema.empty_table()
-        if int(g["bucket"].iloc[0]) >= _SEG_BUCKETS:
+        if int(g["bucket"].iloc[0]) >= nb:
             return pa.table(
                 {
                     "doc_id": pa.array(g["doc_id"].to_numpy()),
@@ -675,7 +678,6 @@ GROUP BY prefix HAVING COUNT(*) >= 2
 _CDC_P = np.uint64(1099511628211)   # the Horner base every oracle shares
 _CDC_W = 8                           # rolling-window chars
 _CDC_MASK = 64                       # break when window hash % 64 == 0
-_CDC_BUCKETS = 64
 
 
 def q_cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
@@ -701,6 +703,9 @@ def q_cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
     from ..functions.text import utf8_codepoints
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # fan-out derived from live cluster CPUs on the DRIVER (all batches
+    # of one query must agree on nb); results are invariant to nb
+    nb = derive_buckets()
     wpow = _CDC_P ** np.arange(_CDC_W, dtype=np.uint64)  # P^j for cp[i-j]
 
     mid_schema = pa.schema(
@@ -768,7 +773,7 @@ def q_cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
         chunk_part = pa.table(
             {
                 "bucket": pa.array(
-                    (hu % np.uint64(_CDC_BUCKETS)).astype(np.int64)
+                    (hu % np.uint64(nb)).astype(np.int64)
                 ),
                 "chunk_hash": pa.array(hu.view(np.int64)),
                 "doc_id": pa.array(du.astype(np.int64)),
@@ -779,7 +784,7 @@ def q_cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
         )
         stats_part = pa.table(
             {
-                "bucket": pa.array(_CDC_BUCKETS + (doc_np % _CDC_BUCKETS)),
+                "bucket": pa.array(nb + (doc_np % nb)),
                 "chunk_hash": pa.array(np.zeros(n_rows, np.int64)),
                 "doc_id": pa.array(doc_np),
                 "occ": pa.array(n_chunk_rows),
@@ -803,7 +808,7 @@ def q_cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
     def resolve(g: "pd.DataFrame") -> pa.Table:
         if len(g) == 0:
             return part_schema.empty_table()
-        if int(g["bucket"].iloc[0]) >= _CDC_BUCKETS:
+        if int(g["bucket"].iloc[0]) >= nb:
             z = np.zeros(len(g), np.int64)
             return pa.table(
                 {

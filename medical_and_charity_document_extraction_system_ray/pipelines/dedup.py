@@ -32,13 +32,15 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ..functions.text import horner_mod64, utf8_codepoints
 from ..functions.vectors import list_column_matrix
 from ..sources.readers import read_table
+from ..functions.cluster import derive_buckets
 
 _P1 = np.uint64(0x9E3779B97F4A7C15)
 _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _HORNER_P = np.uint64(1099511628211)
-# coarse shuffle-key cardinality: enough groups for parallelism, few
-# enough that per-group python overhead stays negligible
-_COARSE_BUCKETS = 64
+# coarse shuffle-key fan-out is derived per query on the DRIVER from
+# live cluster CPUs (functions/cluster.derive_buckets): enough groups
+# for full reduce-side parallelism at any cluster width, few enough
+# that per-group python overhead stays negligible
 
 def _with_schema(schema: pa.Schema):
     """map_batches fn pinning an explicit schema: Ray's sort-based
@@ -409,6 +411,9 @@ def q_minhash_lsh_pairs(
     the full exact word-3-gram-Jaccard self-join (Q_MINHASH_SQL)."""
     rows_per_band = num_hashes // bands
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # reduce fan-out derived from cluster CPUs (driver-resolved so all
+    # batches agree); results are invariant to nb
+    nb = derive_buckets()
 
     def to_band_rows(t: pa.Table) -> pa.Table:
         row_ids, sig = minhash_signatures(t["text"], num_hashes=num_hashes)
@@ -430,7 +435,7 @@ def q_minhash_lsh_pairs(
                 # coarse shuffle key: one groupby call handles MANY LSH
                 # buckets (a map_groups call per band-hash bucket would
                 # pay python overhead per bucket — thousands of calls)
-                "bucket": pa.array((bh_flat % np.uint64(_COARSE_BUCKETS)).astype(np.int32)),
+                "bucket": pa.array((bh_flat % np.uint64(nb)).astype(np.int32)),
                 "doc_id": pa.array(np.tile(doc_ids, bands).astype(np.int64)),
             }
         )
@@ -438,7 +443,7 @@ def q_minhash_lsh_pairs(
     band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow", zero_copy_batch=True)
     # coalesce so the bucket shuffle has ~8 buckets per partition: every
     # partition is non-empty, so the groupby emits no schema-less blocks
-    band_rows = band_rows.repartition(max(2, _COARSE_BUCKETS // 8))
+    band_rows = band_rows.repartition(max(2, nb // 8))
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         a, b = _run_pairs(
@@ -686,6 +691,9 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     SQL-expressible codepoint Horner fold, the DuckDB oracle recomputes
     the sketch and the full pair set (Q_SIMHASH_SQL)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # reduce fan-out derived from cluster CPUs (driver-resolved so all
+    # batches agree); results are invariant to nb
+    nb = derive_buckets()
 
     def to_bands(t: pa.Table) -> pa.Table:
         sh = simhash64(t["text"])
@@ -702,7 +710,7 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         return pa.table(
             {
                 "band_key": pa.array(band_key),
-                "bucket": pa.array((band_key % _COARSE_BUCKETS).astype(np.int32)),
+                "bucket": pa.array((band_key % nb).astype(np.int32)),
                 "doc_id": pa.array(np.tile(doc, 4)),
                 "simhash": pa.array(np.tile(sh.astype(np.int64), 4)),
             }
@@ -1077,6 +1085,9 @@ def q_embedding_neardup_lsh(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bands * bits_per_band, dim))
     planes_ref = ray.put(planes)
+    # reduce fan-out derived from cluster CPUs (driver-resolved so all
+    # batches agree); results are invariant to nb
+    nb = derive_buckets()
 
     def to_bands(t: pa.Table) -> pa.Table:
         ids, m = _batch_matrix(t)
@@ -1094,7 +1105,7 @@ def q_embedding_neardup_lsh(
         return pa.table(
             {
                 "band_key": pa.array(flat),
-                "bucket": pa.array((flat % _COARSE_BUCKETS).astype(np.int32)),
+                "bucket": pa.array((flat % nb).astype(np.int32)),
                 "vec_id": pa.array(np.tile(ids.astype(np.int64), n_bands)),
             }
         )
@@ -1819,6 +1830,9 @@ def q_setsim_prefix_join(
     sets = ds.map_batches(
         add_sets, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    # reduce fan-out derived from cluster CPUs (driver-resolved so all
+    # batches agree); results are invariant to nb
+    nb = derive_buckets()
 
     def emit_prefix(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -1851,7 +1865,7 @@ def q_setsim_prefix_join(
             {
                 "gram": pa.array(grams),
                 "bucket": pa.array(
-                    (grams.view(np.uint64) % np.uint64(_COARSE_BUCKETS)).astype(
+                    (grams.view(np.uint64) % np.uint64(nb)).astype(
                         np.int32
                     )
                 ),
@@ -1862,7 +1876,7 @@ def q_setsim_prefix_join(
 
     prefix_rows = sets.map_batches(
         emit_prefix, batch_format="pyarrow", zero_copy_batch=True
-    ).repartition(max(2, _COARSE_BUCKETS // 2))
+    ).repartition(max(2, nb // 2))
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
@@ -2594,6 +2608,9 @@ def q_cross_source_dup_matrix(sf_dir: str) -> ray.data.Dataset:
     from ..functions.text import fingerprint64
 
     ds = read_table(sf_dir, "documents", columns=["text", "source"])
+    # reduce fan-out derived from cluster CPUs (driver-resolved so all
+    # batches agree); results are invariant to nb
+    nb = derive_buckets()
 
     def partial(t: pa.Table) -> pa.Table:
         h = fingerprint64(t["text"].combine_chunks() if isinstance(
@@ -2605,7 +2622,7 @@ def q_cross_source_dup_matrix(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "bucket": pa.array(
-                    (h2.view(np.uint64) % np.uint64(_COARSE_BUCKETS)).astype(
+                    (h2.view(np.uint64) % np.uint64(nb)).astype(
                         np.int64
                     )
                 ),

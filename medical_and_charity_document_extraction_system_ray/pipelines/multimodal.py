@@ -641,8 +641,12 @@ def q_image_phash_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset
     bucket pair generation is slab-bounded (dedup._iter_pair_slabs)."""
     from ray.data.aggregate import Min
 
-    from .dedup import _COARSE_BUCKETS, _iter_pair_slabs, _popcount64
+    from ..functions.cluster import derive_buckets
+    from .dedup import _iter_pair_slabs, _popcount64
 
+    # reduce fan-out derived from cluster CPUs (driver-resolved so all
+    # batches agree); results are invariant to nb
+    nb = derive_buckets()
     feats = _media_spans(sf_dir).map_batches(
         PHashExtractor, batch_format="pyarrow", batch_size=256, concurrency=2
     )
@@ -665,7 +669,7 @@ def q_image_phash_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset
         return pa.table(
             {
                 "band_key": pa.array(band_key),
-                "bucket": pa.array((band_key % _COARSE_BUCKETS).astype(np.int32)),
+                "bucket": pa.array((band_key % nb).astype(np.int32)),
                 "span_id": pa.array(np.tile(span_id, 4)),
                 "phash": pa.array(np.tile(ph.astype(np.int64), 4)),
             }
@@ -989,9 +993,13 @@ def q_audio_fingerprint_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.D
     pytest."""
     from ray.data.aggregate import Min
 
+    from ..functions.cluster import derive_buckets
     from ..sources.readers import read_table
-    from .dedup import _COARSE_BUCKETS, _iter_pair_slabs, _popcount64
+    from .dedup import _iter_pair_slabs, _popcount64
 
+    # reduce fan-out derived from cluster CPUs (driver-resolved so all
+    # batches agree); results are invariant to nb
+    nb = derive_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     feats = ds.map_batches(
         # concurrency 2, like the other media actor stages: a pool of 4
@@ -1014,7 +1022,7 @@ def q_audio_fingerprint_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.D
         return pa.table(
             {
                 "band_key": pa.array(band_key),
-                "bucket": pa.array((band_key % _COARSE_BUCKETS).astype(np.int32)),
+                "bucket": pa.array((band_key % nb).astype(np.int32)),
                 "doc_id": pa.array(np.tile(ids, 4)),
                 "sig": pa.array(np.tile(sg.astype(np.int64), 4)),
             }
