@@ -1211,21 +1211,110 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # Duplicate-cluster resolution: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 
+def _propagate_min_labels(
+    edges: ray.data.Dataset, max_iters: int = 25
+) -> tuple[ray.data.Dataset, int]:
+    """Connected-component labels over a BIDIRECTIONAL edge dataset
+    ``(src, dst)`` via min-label propagation with POINTER-JUMPING
+    shortcuts (the hash-to-min acceleration): each round takes the
+    per-node min over neighbor labels, then additionally contracts
+    ``label(v) <- min(label(v), label(label(v)))``.  Labels look back
+    ~2^k hops after k rounds, so convergence is O(log diameter) rounds
+    instead of O(diameter) — a 64-node path converges in 7 rounds, not
+    63 (pytest-asserted).  Labels are monotone decreasing and bounded
+    by the component min, so an unchanged label sum is a sound
+    fixpoint test (and at the fixpoint every edge has equal labels on
+    both ends = the component min).
+
+    Returns ``(labels, rounds)`` — labels as ``(node, label)``, rounds
+    = loop iterations executed including the confirming one."""
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["src"])
+        return pa.table({"node": u, "label": u})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .repartition(2)
+        .map_batches(_with_schema(label_schema), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def label_sum(ds) -> int:
+        from ray.data.aggregate import Sum as _Sum
+
+        row = ds.groupby(None).aggregate(_Sum("label", alias_name="s")).take(1)
+        return int(row[0]["s"]) if row else 0
+
+    def shortcut(t: pa.Table) -> pa.Table:
+        # label2 = label(label(v)); null when the left_outer probe
+        # missed (can't happen — every label is a node id — but a
+        # dropped row would silently lose a doc, so coalesce)
+        lab = pc.min_element_wise(
+            pc.cast(t["label"], pa.int64()),
+            pc.coalesce(pc.cast(t["label2"], pa.int64()), t["label"]),
+        )
+        return pa.table({"node": pc.cast(t["node"], pa.int64()), "label": lab})
+
+    prev_sum = label_sum(labels)
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # neighbor labels: edge (src, dst) joined to dst's label
+        nbr = edges.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["dst", "label"]), batch_format="pyarrow"
+            ),
+            join_type="inner", num_partitions=2, on=("dst",),
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": pc.cast(t["src"], pa.int64()),
+                 "label": pc.cast(t["label"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        stepped = (
+            labels.union(nbr)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(2)
+            .map_batches(_with_schema(label_schema), batch_format="pyarrow")
+        )
+        # pointer jump: look up the label of each node's label — one
+        # self-join per round buys the O(log d) round bound
+        lut = stepped.map_batches(
+            lambda t: pa.table({"label": t["node"], "label2": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            stepped.join(lut, join_type="left_outer", num_partitions=2, on=("label",))
+            .map_batches(shortcut, batch_format="pyarrow")
+            .repartition(2)
+            .map_batches(_with_schema(label_schema), batch_format="pyarrow")
+            .materialize()
+        )
+        s = label_sum(labels)
+        if s == prev_sum:  # fixpoint: min-labels can only decrease
+            break
+        prev_sum = s
+    return labels, rounds
+
+
 def q_dup_clusters(sf_dir: str, max_iters: int = 25) -> ray.data.Dataset:
     """Connected components over the MinHash near-dup pair graph — the
     step that turns pairs into KEEP/DROP decisions (each cluster keeps
     its min doc_id): every doc appearing in a pair is labeled with its
     cluster representative.
 
-    Implemented as ITERATIVE min-label propagation over Datasets (the
-    engine's iterative-algorithm shape): labels start as self, each
-    round joins edge endpoints to their neighbor's current label and
-    takes the per-node min, until the label sum reaches a fixpoint
-    (monotone decreasing — convergence in <= graph-diameter rounds,
-    bounded by ``max_iters``).  Every round is a bounded hash join +
-    groupby over the PAIR graph (tiny relative to the corpus: only
-    near-dup members appear), never the documents table.  The DuckDB
-    oracle walks the same graph with a recursive CTE."""
+    Implemented as ITERATIVE min-label propagation with pointer-jumping
+    shortcuts over Datasets (``_propagate_min_labels``): O(log
+    diameter) rounds, each round a bounded hash join + groupby + one
+    label self-join over the PAIR graph (tiny relative to the corpus:
+    only near-dup members appear), never the documents table.  The
+    DuckDB oracle walks the same graph with a recursive CTE."""
     pairs = q_minhash_lsh_pairs(sf_dir)
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -1245,59 +1334,7 @@ def q_dup_clusters(sf_dir: str, max_iters: int = 25) -> ray.data.Dataset:
             .empty_table()
         )
 
-    def init_labels(t: pa.Table) -> pa.Table:
-        u = pc.unique(t["src"])
-        return pa.table({"node": u, "label": u})
-
-    labels = (
-        edges.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .repartition(2)
-        .map_batches(
-            _with_schema(pa.schema([("node", pa.int64()), ("label", pa.int64())])),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
-
-    def label_sum(ds) -> int:
-        from ray.data.aggregate import Sum as _Sum
-
-        row = ds.groupby(None).aggregate(_Sum("label", alias_name="s")).take(1)
-        return int(row[0]["s"]) if row else 0
-
-    prev_sum = label_sum(labels)
-    for _ in range(max_iters):
-        # neighbor labels: edge (src, dst) joined to dst's label
-        nbr = edges.join(
-            labels.map_batches(
-                lambda t: t.rename_columns(["dst", "label"]), batch_format="pyarrow"
-            ),
-            join_type="inner", num_partitions=2, on=("dst",),
-        ).map_batches(
-            lambda t: pa.table(
-                {"node": pc.cast(t["src"], pa.int64()),
-                 "label": pc.cast(t["label"], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-        labels = (
-            labels.union(nbr)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .repartition(2)
-            .map_batches(
-                _with_schema(pa.schema([("node", pa.int64()), ("label", pa.int64())])),
-                batch_format="pyarrow",
-            )
-            .materialize()
-        )
-        s = label_sum(labels)
-        if s == prev_sum:  # fixpoint: min-labels can only decrease
-            break
-        prev_sum = s
-
+    labels, _ = _propagate_min_labels(edges, max_iters=max_iters)
     return labels.map_batches(
         lambda t: pa.table(
             {"doc_id": t["node"], "cluster_rep": t["label"]}

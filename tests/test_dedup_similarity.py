@@ -517,3 +517,29 @@ def test_dedup_incremental_planted(tmp_path):
     out = q_dedup_incremental(str(tmp_path)).to_pandas().sort_values("doc_id")
     assert list(out["doc_id"]) == [9, 14]
     assert list(out["n_new_dups"]) == [1, 2]
+
+
+def test_min_label_pointer_jumping_path64():
+    """The r4 verdict ask: a 64-node PATH graph (diameter 63 — the
+    worst convergence shape for plain min-label propagation) must
+    converge in <= 7 rounds via the pointer-jumping shortcut, and
+    every node must be labeled with the chain head."""
+    from medical_and_charity_document_extraction_system_ray.pipelines.dedup import (
+        _propagate_min_labels,
+    )
+
+    n = 64
+    a = np.arange(n - 1, dtype=np.int64)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.concatenate([a, a + 1])),
+                "dst": pa.array(np.concatenate([a + 1, a])),
+            }
+        )
+    )
+    labels, rounds = _propagate_min_labels(edges, max_iters=25)
+    df = labels.to_pandas()
+    assert len(df) == n
+    assert (df["label"] == 0).all()
+    assert rounds <= 7, f"pointer jumping should need <=7 rounds, took {rounds}"
