@@ -16,8 +16,6 @@
 
 from __future__ import annotations
 
-import hashlib
-import json
 import os
 
 import numpy as np
@@ -29,8 +27,7 @@ import ray.data
 
 from ..functions.vectors import list_column_matrix
 from ..sources.readers import read_table
-
-IVF_CACHE_ROOT = "/tmp/graft_ivf"
+from ..state.checkpoint import get_or_build_artifact
 
 
 def _matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -111,78 +108,67 @@ def build_ivf_index(
     sf_dir: str,
     nlist: int = 16,
     sample_size: int = 2048,
-    cache_root: str = IVF_CACHE_ROOT,
+    cache_root: str | None = None,
 ) -> str:
     """One-time list-bucketed layout: train k-means on a distributed
     strided sample, assign every vector to its nearest centroid, write
     parquet partitioned by ``list_id`` so probes read only their lists.
 
-    Cached per (input fingerprint, nlist) under ``cache_root`` — the
-    analog of the write-time clustering a 100-TB deployment would do
-    once per ingest."""
+    Published through the checkpoint machinery's artifact store
+    (``state/checkpoint.get_or_build_artifact``): keyed by (nlist,
+    input lineage fingerprint), tmp+rename atomic, fsynced manifest —
+    so a restarted job reuses the layout, and on a cluster the root
+    (``cache_root`` arg > ``GRAFT_ARTIFACT_ROOT`` env) points at
+    shared storage that every probe task reads."""
     src = f"{sf_dir}/embeddings.parquet"
-    md = pq.read_metadata(src)
-    fp = hashlib.sha256(
-        f"{src}|{md.num_rows}|{os.path.getsize(src)}|{nlist}".encode()
-    ).hexdigest()[:16]
-    out_dir = os.path.join(cache_root, fp)
-    done = os.path.join(out_dir, "_SUCCESS.json")
-    if os.path.isfile(done):
-        return out_dir
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    n = ds.count()
-    stride = max(1, n // sample_size)
+    def build(tmp_dir: str) -> dict:
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        n = ds.count()
+        stride = max(1, n // sample_size)
 
-    def strided(t: pa.Table) -> pa.Table:
-        # per-block stride: a deterministic spread sample, no full read
-        # to the driver (the driver only receives ~sample_size rows)
-        return t.take(np.arange(0, len(t), stride))
+        def strided(t: pa.Table) -> pa.Table:
+            # per-block stride: a deterministic spread sample, no full
+            # read to the driver (it only receives ~sample_size rows)
+            return t.take(np.arange(0, len(t), stride))
 
-    sample_blocks = ray.get(
-        [
-            ref
-            for bundle in ds.map_batches(
-                strided, batch_format="pyarrow", zero_copy_batch=True
+        sample_blocks = ray.get(
+            [
+                ref
+                for bundle in ds.map_batches(
+                    strided, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .materialize()
+                .iter_internal_ref_bundles()
+                for ref in bundle.block_refs
+            ]
+        )
+        # drop zero-column empty marker blocks before the checked concat
+        sample_tbl = pa.concat_tables(
+            [b for b in sample_blocks if b.num_rows and "vec_id" in b.column_names]
+        )
+        _, sample_mat = _matrix(sample_tbl)
+        centroids = _kmeans(sample_mat, nlist=nlist)
+        cent_ref = ray.put(centroids)
+
+        def assign(t: pa.Table) -> pa.Table:
+            cents = ray.get(cent_ref)
+            _, mat = _matrix(t)
+            # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c) — matmul form
+            d = (cents**2).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
+            return t.append_column(
+                "list_id", pa.array(d.argmin(axis=1).astype(np.int32))
             )
-            .materialize()
-            .iter_internal_ref_bundles()
-            for ref in bundle.block_refs
-        ]
+
+        ds.map_batches(
+            assign, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(tmp_dir, partition_cols=["list_id"])
+        np.save(os.path.join(tmp_dir, "centroids.npy"), centroids)
+        return {"nlist": nlist, "rows": n}
+
+    return get_or_build_artifact(
+        "ivf", {"nlist": nlist}, [src], build, root=cache_root
     )
-    # drop zero-column empty marker blocks before the schema-checked concat
-    sample_tbl = pa.concat_tables(
-        [b for b in sample_blocks if b.num_rows and "vec_id" in b.column_names]
-    )
-    _, sample_mat = _matrix(sample_tbl)
-    centroids = _kmeans(sample_mat, nlist=nlist)
-    cent_ref = ray.put(centroids)
-
-    def assign(t: pa.Table) -> pa.Table:
-        cents = ray.get(cent_ref)
-        _, mat = _matrix(t)
-        # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c) — matmul form
-        d = (cents**2).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
-        return t.append_column("list_id", pa.array(d.argmin(axis=1).astype(np.int32)))
-
-    tmp_dir = out_dir + ".tmp"
-    if os.path.isdir(tmp_dir):
-        import shutil
-
-        shutil.rmtree(tmp_dir)
-    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        tmp_dir, partition_cols=["list_id"]
-    )
-    np.save(os.path.join(tmp_dir, "centroids.npy"), centroids)
-    os.makedirs(os.path.dirname(done), exist_ok=True)
-    if os.path.isdir(out_dir):
-        import shutil
-
-        shutil.rmtree(out_dir)
-    os.replace(tmp_dir, out_dir)
-    with open(done, "w") as f:
-        json.dump({"nlist": nlist, "rows": n, "fingerprint": fp}, f)
-    return out_dir
 
 
 def q_knn_ivf(
@@ -456,104 +442,87 @@ QUALIFY ROW_NUMBER() OVER (
 # Product quantization: compressed ANN scan (the 16x-memory scale path)
 # ---------------------------------------------------------------------------
 
-PQ_CACHE_ROOT = "/tmp/graft_pq"
-
-
 def build_pq_index(
     sf_dir: str,
     n_sub: int = 8,
     n_centroids: int = 256,
     sample_size: int = 2048,
-    cache_root: str = PQ_CACHE_ROOT,
+    cache_root: str | None = None,
 ) -> str:
     """Train per-subspace k-means codebooks on a distributed strided
     sample and encode every vector to ``n_sub`` uint8 codes — a
     dim*4 / n_sub compression (e.g. 64-d float32 -> 8 bytes) that lets
     a 100-TB embedding corpus fit a cluster's RAM for ANN scans.
-    Deterministic (seeded k-means, same fingerprint-cache discipline as
-    the IVF layout)."""
+    Deterministic (seeded k-means); published through the same
+    artifact-store manifest machinery as the IVF layout."""
     src = f"{sf_dir}/embeddings.parquet"
-    md = pq.read_metadata(src)
-    fp = hashlib.sha256(
-        f"pq|{src}|{md.num_rows}|{os.path.getsize(src)}|{n_sub}|{n_centroids}".encode()
-    ).hexdigest()[:16]
-    out_dir = os.path.join(cache_root, fp)
-    done = os.path.join(out_dir, "_SUCCESS.json")
-    if os.path.isfile(done):
-        return out_dir
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    n = ds.count()
-    stride = max(1, n // sample_size)
+    def build(tmp_dir: str) -> dict:
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        n = ds.count()
+        stride = max(1, n // sample_size)
 
-    def strided(t: pa.Table) -> pa.Table:
-        return t.take(np.arange(0, len(t), stride))
+        def strided(t: pa.Table) -> pa.Table:
+            return t.take(np.arange(0, len(t), stride))
 
-    sample_blocks = ray.get(
-        [
-            ref
-            for bundle in ds.map_batches(
-                strided, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .materialize()
-            .iter_internal_ref_bundles()
-            for ref in bundle.block_refs
-        ]
-    )
-    # drop zero-column empty marker blocks before the schema-checked concat
-    sample_tbl = pa.concat_tables(
-        [b for b in sample_blocks if b.num_rows and "vec_id" in b.column_names]
-    )
-    _, sample = _matrix(sample_tbl)
-    dim = sample.shape[1]
-    if dim % n_sub:
-        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
-    sub = dim // n_sub
-    books = np.stack(
-        [
-            _kmeans(
-                np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]),
-                nlist=n_centroids,
-                seed=7 + j,
-            )
-            for j in range(n_sub)
-        ]
-    )  # [n_sub, n_centroids, sub]
-    books_ref = ray.put(books)
-
-    def encode(t: pa.Table) -> pa.Table:
-        bk = ray.get(books_ref)
-        ids, m = _matrix(t)
-        codes = np.empty((len(ids), n_sub), dtype=np.uint8)
-        for j in range(n_sub):
-            x = m[:, j * sub : (j + 1) * sub]
-            c = bk[j]
-            d = (c**2).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
-            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
-        return pa.table(
-            {
-                "vec_id": pa.array(ids.astype(np.int64)),
-                "codes": pa.array(list(codes), type=pa.list_(pa.uint8(), n_sub)),
-            }
+        sample_blocks = ray.get(
+            [
+                ref
+                for bundle in ds.map_batches(
+                    strided, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .materialize()
+                .iter_internal_ref_bundles()
+                for ref in bundle.block_refs
+            ]
         )
+        # drop zero-column empty marker blocks before the checked concat
+        sample_tbl = pa.concat_tables(
+            [b for b in sample_blocks if b.num_rows and "vec_id" in b.column_names]
+        )
+        _, sample = _matrix(sample_tbl)
+        dim = sample.shape[1]
+        if dim % n_sub:
+            raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+        sub = dim // n_sub
+        books = np.stack(
+            [
+                _kmeans(
+                    np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]),
+                    nlist=n_centroids,
+                    seed=7 + j,
+                )
+                for j in range(n_sub)
+            ]
+        )  # [n_sub, n_centroids, sub]
+        books_ref = ray.put(books)
 
-    tmp_dir = out_dir + ".tmp"
-    if os.path.isdir(tmp_dir):
-        import shutil
+        def encode(t: pa.Table) -> pa.Table:
+            bk = ray.get(books_ref)
+            ids, m = _matrix(t)
+            codes = np.empty((len(ids), n_sub), dtype=np.uint8)
+            for j in range(n_sub):
+                x = m[:, j * sub : (j + 1) * sub]
+                c = bk[j]
+                d = (c**2).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+                codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids.astype(np.int64)),
+                    "codes": pa.array(list(codes), type=pa.list_(pa.uint8(), n_sub)),
+                }
+            )
 
-        shutil.rmtree(tmp_dir)
-    ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        os.path.join(tmp_dir, "codes")
+        ds.map_batches(
+            encode, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(os.path.join(tmp_dir, "codes"))
+        np.save(os.path.join(tmp_dir, "codebooks.npy"), books)
+        return {"n_sub": n_sub, "n_centroids": n_centroids, "rows": n}
+
+    return get_or_build_artifact(
+        "pq", {"n_sub": n_sub, "n_centroids": n_centroids}, [src], build,
+        root=cache_root,
     )
-    np.save(os.path.join(tmp_dir, "codebooks.npy"), books)
-    if os.path.isdir(out_dir):
-        import shutil
-
-        shutil.rmtree(out_dir)
-    os.replace(tmp_dir, out_dir)
-    with open(done, "w") as f:
-        json.dump({"n_sub": n_sub, "n_centroids": n_centroids, "rows": n}, f)
-    return out_dir
 
 
 def q_knn_pq(

@@ -95,16 +95,97 @@ def load_manifest(out_dir: str) -> dict[int, dict]:
     return entries
 
 
-def _write_manifest_entry(out_dir: str, entry: dict) -> None:
-    mdir = _manifest_dir(out_dir)
-    os.makedirs(mdir, exist_ok=True)
-    final = os.path.join(mdir, f"part-{entry['partition_id']:05d}.json")
-    tmp = final + ".tmp"
+def _atomic_json_write(path: str, obj: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(entry, f)
+        json.dump(obj, f)
         f.flush()
         os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _write_manifest_entry(out_dir: str, entry: dict) -> None:
+    final = os.path.join(
+        _manifest_dir(out_dir), f"part-{entry['partition_id']:05d}.json"
+    )
+    _atomic_json_write(final, entry)
+
+
+# ---------------------------------------------------------------------------
+# Derived-artifact store (ANN indexes, codebooks): same manifest +
+# atomic-rename discipline as the partition sink, keyed by input lineage
+# ---------------------------------------------------------------------------
+
+DEFAULT_ARTIFACT_ROOT = "/tmp/graft_artifacts"
+
+
+def artifact_root(root: str | None = None) -> str:
+    """Artifact store root: explicit arg > ``GRAFT_ARTIFACT_ROOT`` env >
+    local default.  On a multi-node cluster point this at shared
+    storage (every probe task reads the published layout)."""
+    return root or os.environ.get("GRAFT_ARTIFACT_ROOT") or DEFAULT_ARTIFACT_ROOT
+
+
+def get_or_build_artifact(
+    kind: str,
+    params: dict,
+    input_files: list[str],
+    build_fn: Callable[[str], dict | None],
+    root: str | None = None,
+) -> str:
+    """Deployment-shaped cache for derived artifacts (IVF layouts, PQ
+    codebooks, ...): the cache key is ``(kind, params, input
+    fingerprint)`` where the fingerprint is the checkpoint sink's
+    lineage fingerprint (path + size + parquet footer), so a restarted
+    job — or a different driver on the same shared root — reuses a
+    published artifact if and only if its inputs are byte-identical at
+    the footer level.
+
+    ``build_fn(tmp_dir)`` materializes the artifact into ``tmp_dir``
+    and may return extra manifest metadata; publish is tmp+rename
+    atomic and the manifest entry is fsynced (a kill mid-build leaves
+    only a ``.tmp`` dir that the next build clears)."""
+    import shutil
+
+    root = artifact_root(root)
+    fp = _fingerprint(input_files)
+    key = hashlib.sha256(
+        f"{kind}|{json.dumps(params, sort_keys=True)}|{fp}".encode()
+    ).hexdigest()[:16]
+    kind_dir = os.path.join(root, kind)
+    final = os.path.join(kind_dir, key)
+    mpath = os.path.join(kind_dir, "_manifest", f"{key}.json")
+    if os.path.isdir(final) and os.path.isfile(mpath):
+        try:
+            with open(mpath) as f:
+                entry = json.load(f)
+            if entry.get("fingerprint") == fp:
+                return final
+        except (ValueError, OSError):
+            pass  # unparsable manifest: rebuild
+    tmp = final + ".tmp"
+    if os.path.isdir(tmp):  # stale partial build from a kill
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    ts = time.time()
+    meta = build_fn(tmp) or {}
+    if os.path.isdir(final):
+        shutil.rmtree(final)
     os.replace(tmp, final)
+    _atomic_json_write(
+        mpath,
+        {
+            "key": key,
+            "kind": kind,
+            "params": params,
+            "fingerprint": fp,
+            "files": sorted(input_files),
+            "wall_ms": int((time.time() - ts) * 1000),
+            **meta,
+        },
+    )
+    return final
 
 
 def _invalidate_extra_partitions(out_dir: str, manifest: dict[int, dict], n: int) -> None:

@@ -176,9 +176,9 @@ def test_knn_ivf_recall_and_pruning(tmp_path):
     sf = str(tmp_path)
     cache = str(tmp_path / "ivfcache")
     # any query id works (not just the head slice) — use a late one
-    import medical_and_charity_document_extraction_system_ray.pipelines.similarity as S
-    old_root = S.IVF_CACHE_ROOT
-    S.IVF_CACHE_ROOT = cache
+    import os as _os
+    old_root = _os.environ.get("GRAFT_ARTIFACT_ROOT")
+    _os.environ["GRAFT_ARTIFACT_ROOT"] = cache
     try:
         exact = set(q_knn_bruteforce(sf, query_vec_id=555, k=10).to_pandas()["vec_id"])
         ivf = set(q_knn_ivf(sf, query_vec_id=555, k=10, nlist=8, nprobe=7).to_pandas()["vec_id"])
@@ -190,7 +190,10 @@ def test_knn_ivf_recall_and_pruning(tmp_path):
         scanned2, _ = ivf_scan_rows(sf, query_vec_id=555, nlist=8, nprobe=2)
         assert scanned2 < scanned  # fewer probes -> smaller scan
     finally:
-        S.IVF_CACHE_ROOT = old_root
+        if old_root is None:
+            _os.environ.pop("GRAFT_ARTIFACT_ROOT", None)
+        else:
+            _os.environ["GRAFT_ARTIFACT_ROOT"] = old_root
 
 
 def test_knn_ivf_recall_gate_on_testdata():
