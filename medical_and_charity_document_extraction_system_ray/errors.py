@@ -131,3 +131,86 @@ def stable_error_code(exc: BaseException) -> str:
         if klass in _BUILTIN_CODES:
             return _BUILTIN_CODES[klass]
     return f"UNCLASSIFIED_{type(exc).__name__}"
+
+
+# ---------------------------------------------------------------------------
+# Reference exception taxonomy mirror
+# ---------------------------------------------------------------------------
+# Every class of the reference's exception tree
+# (backend/app/utils/exceptions.py:4-280, 49 classes; the reference's
+# error_code defaults to the class name) mapped to this engine's stable
+# codes, so a consumer migrating stored reference error payloads — or
+# grepping for a reference class — can round-trip.  Families with no
+# batch-engine analog (HTTP envelope codes, task-queue lifecycle,
+# database) map to engine-level codes that keep the family queryable.
+REFERENCE_ERROR_CODES: dict[str, str] = {
+    # root
+    "OCRSystemException": "ENGINE_ERROR",
+    # file family -> media (files are media_ref'd rows here)
+    "FileException": "MEDIA_ERROR",
+    "FileNotFoundError": "MEDIA_NOT_FOUND",
+    "InvalidFileTypeError": "MEDIA_INVALID_FORMAT",
+    "FileSizeExceededError": "MEDIA_SIZE_EXCEEDED",
+    "FileUploadError": "MEDIA_INGEST_FAILED",
+    "FileReadError": "IO_ERROR",
+    "FileWriteError": "IO_ERROR",
+    # PDF family
+    "PDFException": "PDF_ERROR",
+    "PDFMergeError": "PDF_MERGE_FAILED",
+    "PDFCorruptedError": "PDF_CONVERSION_FAILED",
+    "PDFPasswordProtectedError": "PDF_PASSWORD_PROTECTED",
+    "PDFConversionError": "PDF_CONVERSION_FAILED",
+    "PDFEmptyError": "PDF_EMPTY",
+    # image family
+    "ImageException": "MEDIA_ERROR",
+    "ImageLoadError": "MEDIA_DECODE_FAILED",
+    "ImageProcessingError": "PREPROCESS_FAILED",
+    "ImageQualityError": "PREPROCESS_FAILED",
+    "ImageFormatError": "MEDIA_INVALID_FORMAT",
+    # OCR family
+    "OCRException": "OCR_ERROR",
+    "OCREngineNotFoundError": "OCR_ENGINE_NOT_FOUND",
+    "OCRProcessingError": "OCR_PROCESSING_FAILED",
+    "OCRNoTextFoundError": "OCR_NO_TEXT_FOUND",
+    "OCRLowConfidenceError": "OCR_LOW_CONFIDENCE",
+    "OCRTimeoutError": "TIMEOUT",
+    "OCRLanguageNotSupportedError": "OCR_LANGUAGE_UNSUPPORTED",
+    # task family -> checkpoint/manifest lifecycle
+    "TaskException": "CHECKPOINT_ERROR",
+    "TaskNotFoundError": "CHECKPOINT_PARTITION_NOT_FOUND",
+    "TaskCreationError": "CHECKPOINT_COMMIT_FAILED",
+    "TaskStorageError": "CHECKPOINT_COMMIT_FAILED",
+    "TaskLimitExceededError": "CHECKPOINT_LIMIT_EXCEEDED",
+    # validation family
+    "ValidationException": "INPUT_VALIDATION_FAILED",
+    "JSONValidationError": "INPUT_VALIDATION_FAILED",
+    "SchemaValidationError": "SCHEMA_VALIDATION_FAILED",
+    "InputValidationError": "INPUT_VALIDATION_FAILED",
+    # configuration family
+    "ConfigurationException": "CONFIG_ERROR",
+    "MissingConfigurationError": "CONFIG_MISSING",
+    "InvalidConfigurationError": "CONFIG_INVALID",
+    # database family (no database here; keep the family queryable)
+    "DatabaseException": "STORAGE_ERROR",
+    "DatabaseConnectionError": "STORAGE_ERROR",
+    "DatabaseQueryError": "STORAGE_ERROR",
+    # API envelope family -> driver-level errors (no HTTP surface)
+    "APIException": "ENGINE_ERROR",
+    "BadRequestError": "INPUT_VALIDATION_FAILED",
+    "UnauthorizedError": "ACCESS_DENIED",
+    "ForbiddenError": "ACCESS_DENIED",
+    "NotFoundError": "MEDIA_NOT_FOUND",
+    "ConflictError": "CHECKPOINT_COMMIT_FAILED",
+    "InternalServerError": "ENGINE_ERROR",
+    "ServiceUnavailableError": "ENGINE_UNAVAILABLE",
+}
+
+
+def reference_error_code(reference_class_name: str) -> str:
+    """Round-trip a reference exception class name (the reference's
+    default ``error_code``) to this engine's stable code; unknown names
+    get the queryable UNCLASSIFIED prefix, mirroring
+    ``stable_error_code``'s fallback."""
+    return REFERENCE_ERROR_CODES.get(
+        reference_class_name, f"UNCLASSIFIED_{reference_class_name}"
+    )

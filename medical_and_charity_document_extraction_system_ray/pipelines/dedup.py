@@ -64,6 +64,67 @@ _PAIR_SCHEMA = pa.schema(
     ]
 )
 
+_PAIR2_SCHEMA = pa.schema(
+    [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
+)
+
+
+def _pair_dedup_buckets(
+    cand: ray.data.Dataset, nb: int, out_partitions: int
+) -> ray.data.Dataset:
+    """Global (doc_a, doc_b) dedup via ONE bounded-key coarse-bucket
+    shuffle: pairs are keyed ``hash(a,b) % nb`` so every copy of a pair
+    lands in the same bucket group, then each group dedups with one
+    vectorized ``np.unique`` — one python call per BUCKET, never per
+    pair (the project's unbounded-key rule).  Replaces a
+    ``groupby(["doc_a","doc_b"])`` whose composite unbounded key cost
+    ~30 s at a 450 k-pair sf0.1 candidate list."""
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "pb": pa.array([], pa.int32()),
+                }
+            )
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pb = ((a * _P1 + b) * _P2 % np.uint64(nb)).astype(np.int32)
+        return pa.table(
+            {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "pb": pa.array(pb)}
+        )
+
+    def bucket_dedup(g: pa.Table) -> pa.Table:
+        ab = np.unique(
+            np.stack(
+                [
+                    g["doc_a"].to_numpy(zero_copy_only=False),
+                    g["doc_b"].to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(ab[:, 0], pa.int64()),
+                "doc_b": pa.array(ab[:, 1], pa.int64()),
+            }
+        )
+
+    return (
+        cand.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(bucket_dedup, batch_format="pyarrow")
+        # absorb the groupby's zero-column empty-partition blocks before
+        # any downstream hash join (FieldRef recipe)
+        .repartition(out_partitions)
+        .map_batches(_with_schema(_PAIR2_SCHEMA), batch_format="pyarrow")
+    )
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup (SQL-matched)
@@ -386,7 +447,7 @@ def q_minhash_lsh_pairs(
     bands: int = 32,
     jaccard_threshold: float = 0.5,
     join_partitions: int = 8,
-    broadcast_pairs_threshold: int = 200_000,
+    broadcast_pairs_bytes: int = 8 << 20,
 ) -> ray.data.Dataset:
     """Near-dup pairs via MinHash banding, shuffle-light:
 
@@ -395,13 +456,16 @@ def q_minhash_lsh_pairs(
     verify (one vectorized shingle pass per batch, no per-pair
     recompute).
 
-    Text re-attachment is adaptive: when the candidate count (counted
-    off a materialized candidate set — it is the SMALL side) is under
-    ``broadcast_pairs_threshold``, the pair list is pulled to the
-    driver, the needed texts are fetched with one shuffle-free filtered
-    scan and broadcast via ``ray.put`` — 1 shuffle total.  Above the
-    threshold (dup-heavy corpora at scale) it falls back to
-    groupby-distinct + two hash joins — still never shipping
+    Text re-attachment is adaptive: when the candidate pair list is
+    under ``broadcast_pairs_bytes`` (measured off the materialized
+    candidate set's actual byte size — BYTES, not pair count, because
+    the driver-pull + ``ray.put`` cost this guards is a byte budget,
+    and 200k pairs of wide ids cost 4x 200k pairs of narrow ones), the
+    pair list is pulled to the driver, the needed texts are fetched
+    with one shuffle-free filtered scan and broadcast via ``ray.put``
+    — 1 shuffle total.  Above the threshold (dup-heavy corpora at
+    scale; benched on the 30%-duplicate fixture, BASELINE.md) it falls
+    back to groupby-distinct + two hash joins — still never shipping
     bands x text through the LSH shuffle.
 
     With bands=32 (2 hashes/band) a pair at the 0.5 threshold is missed
@@ -486,7 +550,7 @@ def q_minhash_lsh_pairs(
     import ray
 
     cand_m = cand.materialize()
-    if cand_m.count() <= broadcast_pairs_threshold:
+    if cand_m.size_bytes() <= broadcast_pairs_bytes:
         # -- broadcast path: 1 shuffle total ------------------------------
         blocks = [
             ray.get(r)
@@ -579,14 +643,10 @@ def q_minhash_lsh_pairs(
         return pair_ds.map_batches(verify_broadcast, batch_format="pyarrow")
 
     # -- join path (dup-heavy corpora at scale) ---------------------------
-    # global pair dedup (a pair can surface in several bands/buckets)
-    uniq = cand_m.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
-    # repartition absorbs the aggregate's zero-column empty-partition
-    # blocks, which would otherwise break the hash join (FieldRef error)
-    uniq = uniq.repartition(join_partitions).map_batches(
-        _with_schema(pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])),
-        batch_format="pyarrow",
-    )
+    # global pair dedup (a pair can surface in several bands/buckets):
+    # one bounded-key coarse-bucket shuffle, not an unbounded composite
+    # groupby
+    uniq = _pair_dedup_buckets(cand_m, nb, join_partitions)
     # re-attach texts: two hash joins against the documents table — the
     # shuffle moves candidate pairs (small) + the doc table once, never
     # bands x text
@@ -1804,7 +1864,7 @@ def q_setsim_prefix_join(
     sf_dir: str,
     threshold: float = 0.6,
     join_partitions: int = 8,
-    broadcast_pairs_threshold: int = 200_000,
+    broadcast_pairs_bytes: int = 8 << 20,
     broadcast_sets_bytes: int = 1 << 30,
 ) -> ray.data.Dataset:
     """ALL pairs with word-3-gram-shingle Jaccard >= ``threshold``, found
@@ -1829,8 +1889,10 @@ def q_setsim_prefix_join(
     parallel map_batches verify, survivors deduped by a groupby over
     the tiny result — the dominant regime, no joins), broadcast-pairs
     (few candidates but huge sets: driver-side verify against filtered
-    set blocks), or two hash joins + batch sort-merge intersection (the
-    100 TB dup-heavy fallback).  Every regime uses the same vectorized
+    set blocks; chosen by the pair list's BYTE size — the driver-pull
+    budget — not pair count), or two hash joins + batch sort-merge
+    intersection (the 100 TB dup-heavy fallback; benched on the
+    30%-duplicate fixture, BASELINE.md).  Every regime uses the same vectorized
     whole-batch intersection — no per-pair python loop."""
     import ray
 
@@ -2034,7 +2096,7 @@ def q_setsim_prefix_join(
             return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
         return verified
 
-    if n_cand <= broadcast_pairs_threshold:
+    if cand.size_bytes() <= broadcast_pairs_bytes:
         # -- broadcast path (the common regime): the pair list is the
         # SMALL side — dedup it on the driver and verify against set
         # blocks fetched straight from the already-materialized `sets`
@@ -2123,12 +2185,12 @@ def q_setsim_prefix_join(
         )
 
     # -- join path (dup-heavy corpora at scale) ---------------------------
-    # global pair dedup (a pair surfaces once per shared prefix gram)
-    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nc"))
-    uniq = uniq.repartition(join_partitions).map_batches(
-        _with_schema(pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])),
-        batch_format="pyarrow",
-    )
+    # global pair dedup (a pair surfaces once per shared prefix-gram
+    # BUCKET — for exact dups that is ~every bucket its ~40% prefix
+    # hashes into, so dedup before the set joins is mandatory): one
+    # bounded-key coarse-bucket shuffle, not an unbounded composite
+    # groupby (that shape cost ~30 s at a 450 k-pair sf0.1 list)
+    uniq = _pair_dedup_buckets(cand, derive_buckets(), join_partitions)
 
     sets_a = sets.map_batches(
         lambda t: t.rename_columns(["doc_a", "bytes_a", "size_a"]),

@@ -71,6 +71,18 @@ def test_minhash_finds_near_duplicate(dup_corpus):
     assert float(exact["jaccard"].iloc[0]) == 1.0
 
 
+def test_minhash_join_fallback_matches_broadcast(dup_corpus):
+    """The dup-heavy join fallback (forced via broadcast_pairs_bytes=0)
+    must yield the identical verified pair set as the broadcast path —
+    the regime switch is a byte budget, never a semantics change."""
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["jaccard"]))
+    bcast = q_minhash_lsh_pairs(dup_corpus, jaccard_threshold=0.3).to_pandas()
+    joins = q_minhash_lsh_pairs(
+        dup_corpus, jaccard_threshold=0.3, broadcast_pairs_bytes=0
+    ).to_pandas()
+    assert key(bcast) == key(joins) and len(bcast) >= 2
+
+
 def test_simhash_flags_duplicates(dup_corpus):
     pairs = q_simhash_pairs(dup_corpus, max_hamming=3).to_pandas()
     found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))

@@ -183,7 +183,7 @@ def test_setsim_join_path_matches_broadcast(tmp_path):
     bsets = q_setsim_prefix_join(sf).to_pandas()
     bpairs = q_setsim_prefix_join(sf, broadcast_sets_bytes=0).to_pandas()
     joins = q_setsim_prefix_join(
-        sf, broadcast_sets_bytes=0, broadcast_pairs_threshold=0
+        sf, broadcast_sets_bytes=0, broadcast_pairs_bytes=0
     ).to_pandas()
     key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["jaccard"]))
     assert key(bsets) == key(bpairs) == key(joins) == [(0, 1, 0.9)]

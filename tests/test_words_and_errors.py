@@ -315,3 +315,74 @@ def test_merge_skip_accounting(tmp_path):
     s2 = out.loc["s2"]
     assert (s2["n_docs"], s2["n_merged"], s2["n_skipped"]) == (1, 0, 1)
     assert s2["total_pages"] == 0 and s2["merged_text"] == ""
+
+
+def test_reference_exception_taxonomy_mirror_complete():
+    """r4 verdict ask #8: every class of the reference exception tree
+    (backend/app/utils/exceptions.py:4-280, 49 classes) must round-trip
+    to a stable engine code.  When the reference snapshot is present
+    the class list is parsed from it; the count pin keeps the check
+    honest standalone."""
+    import ast
+    import os
+
+    from medical_and_charity_document_extraction_system_ray.errors import (
+        REFERENCE_ERROR_CODES,
+        reference_error_code,
+    )
+
+    assert len(REFERENCE_ERROR_CODES) == 49
+    for name, code in REFERENCE_ERROR_CODES.items():
+        assert code and code == code.upper(), (name, code)
+        assert reference_error_code(name) == code
+
+    ref = "/root/reference/backend/app/utils/exceptions.py"
+    if os.path.isfile(ref):
+        with open(ref) as f:
+            tree = ast.parse(f.read())
+        classes = {
+            n.name for n in ast.walk(tree) if isinstance(n, ast.ClassDef)
+        }
+        assert classes == set(REFERENCE_ERROR_CODES), (
+            classes ^ set(REFERENCE_ERROR_CODES)
+        )
+
+    # unknown names stay queryable, mirroring stable_error_code
+    assert reference_error_code("SomeNewError") == "UNCLASSIFIED_SomeNewError"
+
+
+def test_giant_document_100k_spans_byte_exact_bounded():
+    """r4 verdict ask #7: one document much larger than one batch
+    (100k spans vs the 256-row default batch) must reassemble
+    byte-exactly through the bucketed shuffle, without the driver or a
+    worker accumulating the doc more than O(doc) — asserted via driver
+    max-RSS growth (a quadratic reassembly would trip the bound)."""
+    import random
+    import resource
+
+    n = 100_000
+    spans = [
+        {"kind": "text", "text": f"p{k}", "media_ref": "", "offset": k}
+        for k in range(n)
+    ]
+    random.Random(1).shuffle(spans)
+    docs = pa.Table.from_pylist([_doc("giant100k", spans)], schema=DOCUMENTS_SCHEMA)
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    out = extract_documents(
+        ray.data.from_arrow(docs), ocr_concurrency=2, repartition_blocks=16
+    ).take_all()
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert len(out) == 1
+    got = out[0]
+    assert got["page_count"] == n
+    offs = [s["offset"] for s in got["spans"]]
+    assert offs == list(range(n))
+    # byte-exact against the reference's join semantics, not a prefix
+    expected = "\n\n".join(f"--- Page {k + 1} ---\np{k}" for k in range(n))
+    assert got["text"] == expected
+    # reference semantics: sum of PER-PAGE char counts, not len(joined)
+    assert got["total_characters"] == sum(len(f"p{k}") for k in range(n))
+    # driver growth stays O(doc): the payload is ~2 MB; 512 MiB bound
+    # catches any accumulate-everything or quadratic-join regression
+    # (ru_maxrss is KiB on linux)
+    assert (rss_after - rss_before) < 512 * 1024, (rss_before, rss_after)
