@@ -356,13 +356,20 @@ def test_giant_document_100k_spans_byte_exact_bounded():
     (100k spans vs the 256-row default batch) must reassemble
     byte-exactly through the bucketed shuffle, without the driver or a
     worker accumulating the doc more than O(doc) — asserted via driver
-    max-RSS growth (a quadratic reassembly would trip the bound)."""
+    max-RSS growth (a quadratic reassembly would trip the bound).
+
+    Span texts are >=50 chars so the classifier takes the DIRECT path:
+    the stress target is the reassembly shuffle, not 100k OCR
+    rasterizations (the scanned path's per-page kernels are stress-
+    covered by the 5k-span conformance giant)."""
     import random
     import resource
 
     n = 100_000
+    page = "page {k:06d} lorem ipsum dolor sit amet consectetur adipiscing"
+    texts = [page.format(k=k) for k in range(n)]
     spans = [
-        {"kind": "text", "text": f"p{k}", "media_ref": "", "offset": k}
+        {"kind": "text", "text": texts[k], "media_ref": "", "offset": k}
         for k in range(n)
     ]
     random.Random(1).shuffle(spans)
@@ -374,15 +381,18 @@ def test_giant_document_100k_spans_byte_exact_bounded():
     rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     assert len(out) == 1
     got = out[0]
+    assert got["processing_method"] == "direct_text_extraction"
     assert got["page_count"] == n
     offs = [s["offset"] for s in got["spans"]]
     assert offs == list(range(n))
     # byte-exact against the reference's join semantics, not a prefix
-    expected = "\n\n".join(f"--- Page {k + 1} ---\np{k}" for k in range(n))
+    expected = "\n\n".join(
+        f"--- Page {k + 1} ---\n{texts[k]}" for k in range(n)
+    )
     assert got["text"] == expected
     # reference semantics: sum of PER-PAGE char counts, not len(joined)
-    assert got["total_characters"] == sum(len(f"p{k}") for k in range(n))
-    # driver growth stays O(doc): the payload is ~2 MB; 512 MiB bound
+    assert got["total_characters"] == sum(len(t) for t in texts)
+    # driver growth stays O(doc): the payload is ~6 MB; 512 MiB bound
     # catches any accumulate-everything or quadratic-join regression
     # (ru_maxrss is KiB on linux)
     assert (rss_after - rss_before) < 512 * 1024, (rss_before, rss_after)
