@@ -242,7 +242,7 @@ def run_bench() -> dict:
     # tail capture, so its parsed block is null — fall back through):
     # the host swings ±25-50% between runs, so only a >1.5x slowdown of
     # the paired-A/B minimum is called a regression
-    for rn in ("r03", "r02", "r01"):
+    for rn in ("r04", "r03", "r02", "r01"):
         prev_path = os.path.join(REPO, f"BENCH_{rn}.json")
         if not os.path.exists(prev_path):
             continue
