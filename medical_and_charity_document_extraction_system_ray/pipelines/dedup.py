@@ -69,6 +69,21 @@ _PAIR2_SCHEMA = pa.schema(
 )
 
 
+def _graph_partitions() -> int:
+    """Partition width for the iterative PAIR-GRAPH algorithms (label
+    propagation, PageRank): the graph is tiny relative to the corpus
+    (only near-dup members appear) but at 100 TB it is still millions
+    of rows — a fixed width of 2 would serialize every per-round join
+    and groupby through two reducers.  ~1 partition per 4 cluster CPUs
+    keeps per-round task overhead negligible on a single node (8 on
+    this 32-CPU box) while the reduce width grows with the cluster.
+    Resolved on the driver once per query (same rule as
+    ``derive_buckets``)."""
+    from ..functions.cluster import cluster_cpus
+
+    return max(2, cluster_cpus() // 4)
+
+
 def _pair_dedup_buckets(
     cand: ray.data.Dataset, nb: int, out_partitions: int
 ) -> ray.data.Dataset:
@@ -1289,6 +1304,7 @@ def _propagate_min_labels(
     Returns ``(labels, rounds)`` — labels as ``(node, label)``, rounds
     = loop iterations executed including the confirming one."""
     label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    np_parts = _graph_partitions()
 
     def init_labels(t: pa.Table) -> pa.Table:
         u = pc.unique(t["src"])
@@ -1298,7 +1314,7 @@ def _propagate_min_labels(
         edges.map_batches(init_labels, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
-        .repartition(2)
+        .repartition(np_parts)
         .map_batches(_with_schema(label_schema), batch_format="pyarrow")
         .materialize()
     )
@@ -1328,7 +1344,7 @@ def _propagate_min_labels(
             labels.map_batches(
                 lambda t: t.rename_columns(["dst", "label"]), batch_format="pyarrow"
             ),
-            join_type="inner", num_partitions=2, on=("dst",),
+            join_type="inner", num_partitions=np_parts, on=("dst",),
         ).map_batches(
             lambda t: pa.table(
                 {"node": pc.cast(t["src"], pa.int64()),
@@ -1340,7 +1356,7 @@ def _propagate_min_labels(
             labels.union(nbr)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
-            .repartition(2)
+            .repartition(np_parts)
             .map_batches(_with_schema(label_schema), batch_format="pyarrow")
         )
         # pointer jump: look up the label of each node's label — one
@@ -1350,9 +1366,11 @@ def _propagate_min_labels(
             batch_format="pyarrow",
         )
         labels = (
-            stepped.join(lut, join_type="left_outer", num_partitions=2, on=("label",))
+            stepped.join(
+                lut, join_type="left_outer", num_partitions=np_parts, on=("label",)
+            )
             .map_batches(shortcut, batch_format="pyarrow")
-            .repartition(2)
+            .repartition(np_parts)
             .map_batches(_with_schema(label_schema), batch_format="pyarrow")
             .materialize()
         )
@@ -1588,11 +1606,12 @@ def q_pagerank_neardup(
     if edges.count() == 0:
         return ray.data.from_arrow(out_schema.empty_table())
 
+    np_parts = _graph_partitions()
     deg_schema = pa.schema([("src", pa.int64()), ("d", pa.float64())])
     deg = (
         edges.groupby("src")
         .aggregate(Count(alias_name="d"))
-        .repartition(2)
+        .repartition(np_parts)
         .map_batches(
             lambda t: pa.table(
                 {"src": pc.cast(t["src"], pa.int64()),
@@ -1605,7 +1624,7 @@ def q_pagerank_neardup(
     n = deg.count()
 
     trans = edges.join(
-        deg, join_type="inner", num_partitions=2, on=("src",)
+        deg, join_type="inner", num_partitions=np_parts, on=("src",)
     ).materialize()
 
     rank_schema = pa.schema([("src", pa.int64()), ("r", pa.float64())])
@@ -1618,7 +1637,7 @@ def q_pagerank_neardup(
 
     for _ in range(iters):
         contrib = trans.join(
-            ranks, join_type="inner", num_partitions=2, on=("src",)
+            ranks, join_type="inner", num_partitions=np_parts, on=("src",)
         ).map_batches(
             lambda t: pa.table(
                 {
@@ -1633,7 +1652,7 @@ def q_pagerank_neardup(
         ranks = (
             contrib.groupby("dst")
             .aggregate(Sum("c", alias_name="s"))
-            .repartition(2)
+            .repartition(np_parts)
             .map_batches(
                 lambda t: pa.table(
                     {
