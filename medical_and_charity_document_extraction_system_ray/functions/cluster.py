@@ -44,3 +44,22 @@ def derive_buckets(
     against pathological resource reports — at 64k buckets a 16 B
     bucket row stream is still >> per-group overhead."""
     return min(cap, max(min_buckets, per_cpu * cluster_cpus()))
+
+
+def join_partitions(min_partitions: int = 2, cap: int = 4096) -> int:
+    """Partition width for hash joins whose BOTH sides are fact-sized
+    (lineitem x part, event streams, key streams): ``clamp(CPUs / 2,
+    [min_partitions, cap])``.  A fixed 4-8 was tuned for this 32-CPU
+    box; on a wider cluster it would cap join parallelism, so the
+    width follows the cluster.  Resolve ON THE DRIVER at query-build
+    time (same rule as ``derive_buckets``).  Joins against a bounded
+    dimension (nation, month, calendar buckets) keep small fixed
+    widths — more partitions there only buy overhead.
+
+    The floor must scale DOWN with the session, not up: hash-shuffle
+    joins hold one aggregator actor per partition ALIVE for the whole
+    exchange, so a query with several concurrent joins (fk_audit's
+    four star edges) whose widths exceed the session's CPUs
+    deadlocks waiting on actors that can never all schedule — measured
+    as a hang on the 4-CPU pytest session when the floor was 8."""
+    return min(cap, max(min_partitions, cluster_cpus() // 2))

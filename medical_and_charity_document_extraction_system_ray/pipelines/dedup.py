@@ -32,7 +32,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ..functions.text import horner_mod64, utf8_codepoints
 from ..functions.vectors import list_column_matrix
 from ..sources.readers import read_table
-from ..functions.cluster import derive_buckets
+from ..functions.cluster import derive_buckets, join_partitions
 
 _P1 = np.uint64(0x9E3779B97F4A7C15)
 _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
@@ -1741,8 +1741,12 @@ def q_dup_provenance(sf_dir: str) -> ray.data.Dataset:
         )
 
     joined = pairs.select_columns(["doc_a", "doc_b"]).join(
-        side("a"), join_type="inner", num_partitions=2, on=("doc_a",)
-    ).join(side("b"), join_type="inner", num_partitions=2, on=("doc_b",))
+        side("a"), join_type="inner", num_partitions=join_partitions(),
+        on=("doc_a",),
+    ).join(
+        side("b"), join_type="inner", num_partitions=join_partitions(),
+        on=("doc_b",),
+    )
 
     def normalize(t: pa.Table) -> pa.Table:
         sa = t["source_a"].to_numpy(zero_copy_only=False)
@@ -1819,8 +1823,9 @@ def q_dup_canonical(sf_dir: str) -> ray.data.Dataset:
         return ray.data.from_arrow(out_schema.empty_table())
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    j = clusters.repartition(2).join(
-        docs, join_type="inner", num_partitions=2, on=("doc_id",)
+    j = clusters.repartition(join_partitions()).join(
+        docs, join_type="inner", num_partitions=join_partitions(),
+        on=("doc_id",),
     )
 
     def decide(t: pa.Table) -> pa.Table:

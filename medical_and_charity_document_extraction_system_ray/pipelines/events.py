@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..functions.cluster import join_partitions
 from ..functions.segments import (
     bucket_grouped,
     run_positions,
@@ -1202,13 +1203,14 @@ def q_range_views_before_click(sf_dir: str) -> ray.data.Dataset:
     # repartition re-blocks everything to the mapped schema
     clicks = ds.map_batches(
         clicks_tbl, batch_format="pyarrow", zero_copy_batch=True
-    ).repartition(4)
+    ).repartition(join_partitions())
     views = ds.map_batches(
         views_tbl, batch_format="pyarrow", zero_copy_batch=True
-    ).repartition(4)
+    ).repartition(join_partitions())
 
     j = clicks.join(
-        views, join_type="left_outer", num_partitions=8, on=("user_id", "bucket")
+        views, join_type="left_outer", num_partitions=join_partitions(),
+        on=("user_id", "bucket"),
     )
 
     def partial_counts(t: pa.Table) -> pa.Table:

@@ -28,6 +28,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..functions.cluster import join_partitions
 from ..sources.readers import read_table
 
 
@@ -248,7 +249,7 @@ def q_join_brand_revenue(sf_dir: str) -> ray.data.Dataset:
     li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
     joined = li.join(
-        part, join_type="inner", num_partitions=8,
+        part, join_type="inner", num_partitions=join_partitions(),
         on=("l_partkey",), right_on=("p_partkey",),
     )
     agg = joined.groupby("p_brand").aggregate(Sum("rev_e4_sum", alias_name="s"))
@@ -1194,13 +1195,13 @@ def q_brand_basket_pairs(sf_dir: str) -> ray.data.Dataset:
         return t.select(["l_orderkey", "p_brand"])
 
     ob = (
-        li.join(part, join_type="inner", num_partitions=8,
+        li.join(part, join_type="inner", num_partitions=join_partitions(),
                 on=("l_partkey",), right_on=("p_partkey",))
         .map_batches(local_distinct, batch_format="pyarrow")
         .groupby(["l_orderkey", "p_brand"]).aggregate(Count(alias_name="_c"))
         .map_batches(drop_marker, batch_format="pyarrow")
         # absorb groupby's empty marker blocks before the Acero join
-        .repartition(8)
+        .repartition(join_partitions())
         .materialize()
     )
 
@@ -1211,7 +1212,7 @@ def q_brand_basket_pairs(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     both = ob.join(
-        ob_b, join_type="inner", num_partitions=8, on=("l_orderkey",)
+        ob_b, join_type="inner", num_partitions=join_partitions(), on=("l_orderkey",)
     )
 
     def pair_counts(t: pa.Table) -> pa.Table:
@@ -1260,7 +1261,7 @@ def q_regr_price_by_brand(sf_dir: str) -> ray.data.Dataset:
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
 
-    joined = li.join(part, join_type="inner", num_partitions=8,
+    joined = li.join(part, join_type="inner", num_partitions=join_partitions(),
                      on=("l_partkey",), right_on=("p_partkey",))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1582,9 +1583,10 @@ def q_regional_revenue(sf_dir: str) -> ray.data.Dataset:
     per_supp = (
         li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("l_suppkey").aggregate(Sum("u", alias_name="u"))
-        .repartition(4)  # absorb groupby's empty marker blocks pre-join
+        # absorb groupby's empty marker blocks pre-join
+        .repartition(join_partitions())
     )
-    j = per_supp.join(supp, join_type="inner", num_partitions=4,
+    j = per_supp.join(supp, join_type="inner", num_partitions=join_partitions(),
                       on=("l_suppkey",), right_on=("s_suppkey",))
 
     def attach(t: pa.Table) -> pa.Table:
@@ -1645,7 +1647,7 @@ def q_brand_revenue_share(sf_dir: str) -> pa.Table:
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
 
-    j = li.join(part, join_type="inner", num_partitions=8,
+    j = li.join(part, join_type="inner", num_partitions=join_partitions(),
                 on=("l_partkey",), right_on=("p_partkey",))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2309,11 +2311,11 @@ def q_blame_suppliers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     )
     blamed = (
         per_order.map_batches(blame_filter, batch_format="pyarrow")
-        .repartition(8)
+        .repartition(join_partitions())
         .join(
-            f_orders.repartition(8),
+            f_orders.repartition(join_partitions()),
             join_type="inner",
-            num_partitions=8,
+            num_partitions=join_partitions(),
             on=("o_orderkey",),
         )
     )
@@ -2466,8 +2468,11 @@ def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
                 .groupby("k")
                 .aggregate(Count(alias_name="present"))
             )
-            joined = child_keys.repartition(4).join(
-                pr.repartition(4), join_type="left_outer", num_partitions=4, on=("k",)
+            joined = child_keys.repartition(join_partitions()).join(
+                pr.repartition(join_partitions()),
+                join_type="left_outer",
+                num_partitions=join_partitions(),
+                on=("k",),
             )
 
         def fold(t: pa.Table, _name=name) -> pa.Table:
