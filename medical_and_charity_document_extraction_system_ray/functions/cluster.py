@@ -63,3 +63,19 @@ def join_partitions(min_partitions: int = 2, cap: int = 4096) -> int:
     deadlocks waiting on actors that can never all schedule — measured
     as a hang on the 4-CPU pytest session when the floor was 8."""
     return min(cap, max(min_partitions, cluster_cpus() // 2))
+
+
+def media_pool_size(min_actors: int = 2, cap: int = 512) -> int:
+    """Actor-pool width for media decode / feature / scoring stages
+    (pHash, layout, audio fingerprint, lang-id): ``clamp(CPUs // 4,
+    [min_actors, cap])``.
+
+    A fixed pool of 2 was right on this box but caps the stage at 2
+    actors on a 100x-scale cluster — the same flaw as the fixed bucket
+    widths.  ``CPUs // 4`` leaves most of the session to the producer
+    scan and the downstream shuffle: a pool holding EVERY core of a
+    small session starves the downstream groupby (observed hang on the
+    4-CPU pytest session), so the floor stays at the tuned 2 there.
+    Resolve ON THE DRIVER at query-build time (same rule as
+    ``derive_buckets``)."""
+    return min(cap, max(min_actors, cluster_cpus() // 4))

@@ -175,9 +175,11 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+    from ..functions.cluster import media_pool_size
+
     feats = media.map_batches(
         MediaFeatureExtractor, batch_format="pyarrow",
-        batch_size=256, concurrency=2,
+        batch_size=256, concurrency=media_pool_size(),
     )
     return feats.map_batches(
         lambda t: t.select(
@@ -425,8 +427,11 @@ def q_page_regions(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+    from ..functions.cluster import media_pool_size
+
     out = media.map_batches(
-        LayoutAnalyzer, batch_format="pyarrow", batch_size=256, concurrency=2
+        LayoutAnalyzer, batch_format="pyarrow", batch_size=256,
+        concurrency=media_pool_size(),
     )
     return out.map_batches(
         lambda t: t.select(
@@ -641,14 +646,15 @@ def q_image_phash_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset
     bucket pair generation is slab-bounded (dedup._iter_pair_slabs)."""
     from ray.data.aggregate import Min
 
-    from ..functions.cluster import derive_buckets
+    from ..functions.cluster import derive_buckets, media_pool_size
     from .dedup import _iter_pair_slabs, _popcount64
 
     # reduce fan-out derived from cluster CPUs (driver-resolved so all
     # batches agree); results are invariant to nb
     nb = derive_buckets()
     feats = _media_spans(sf_dir).map_batches(
-        PHashExtractor, batch_format="pyarrow", batch_size=256, concurrency=2
+        PHashExtractor, batch_format="pyarrow", batch_size=256,
+        concurrency=media_pool_size(),
     )
 
     def to_bands(t: pa.Table) -> pa.Table:
@@ -993,7 +999,7 @@ def q_audio_fingerprint_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.D
     pytest."""
     from ray.data.aggregate import Min
 
-    from ..functions.cluster import derive_buckets
+    from ..functions.cluster import derive_buckets, media_pool_size
     from ..sources.readers import read_table
     from .dedup import _iter_pair_slabs, _popcount64
 
@@ -1002,10 +1008,11 @@ def q_audio_fingerprint_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.D
     nb = derive_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     feats = ds.map_batches(
-        # concurrency 2, like the other media actor stages: a pool of 4
-        # would hold every CPU of a 4-CPU test session and starve the
-        # downstream groupby (observed hang)
-        AudioFingerprinter, batch_format="pyarrow", batch_size=128, concurrency=2
+        # pool width derived from cluster CPUs with a floor of 2: a
+        # pool holding every CPU of a 4-CPU test session starves the
+        # downstream groupby (observed hang) — see media_pool_size
+        AudioFingerprinter, batch_format="pyarrow", batch_size=128,
+        concurrency=media_pool_size(),
     )
 
     def to_bands(t: pa.Table) -> pa.Table:

@@ -195,7 +195,13 @@ class LangIdScorer:
         )
 
 
-def q_lang_id(sf_dir: str, concurrency: int | tuple[int, int] = 4) -> ray.data.Dataset:
+def q_lang_id(
+    sf_dir: str, concurrency: int | tuple[int, int] | None = None
+) -> ray.data.Dataset:
+    if concurrency is None:
+        from ..functions.cluster import media_pool_size
+
+        concurrency = media_pool_size()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     return ds.map_batches(
         LangIdScorer, batch_format="pyarrow", batch_size=2048,
@@ -972,7 +978,9 @@ def q_lang_agreement_kappa(sf_dir: str) -> pa.Table:
     bit-identical on the 1e-6 grid."""
     from ray.data.aggregate import Sum as _Sum
 
-    preds = q_lang_id(sf_dir, concurrency=2)
+    from ..functions.cluster import media_pool_size
+
+    preds = q_lang_id(sf_dir, concurrency=media_pool_size())
 
     def partial(t: pa.Table) -> pa.Table:
         return (

@@ -23,18 +23,24 @@ def test_floors_hold_on_small_sessions():
     assert cluster.derive_buckets() == 64
     assert cluster.join_partitions() == 2
     assert cluster.join_partitions() <= cluster.cluster_cpus()
+    # media actor pools keep the tuned floor of 2 (a wider pool starves
+    # the downstream groupby on a 4-CPU session — observed hang)
+    assert cluster.media_pool_size() == 2
 
 
 def test_clamp_algebra(monkeypatch):
     monkeypatch.setattr(cluster, "cluster_cpus", lambda default=8: 1024)
     assert cluster.derive_buckets() == 4096          # 4 x CPUs
     assert cluster.join_partitions() == 512          # CPUs / 2
+    assert cluster.media_pool_size() == 256          # CPUs / 4
     monkeypatch.setattr(cluster, "cluster_cpus", lambda default=8: 10**9)
     assert cluster.derive_buckets() == 65536         # cap guards bad reports
     assert cluster.join_partitions() == 4096
+    assert cluster.media_pool_size() == 512
     monkeypatch.setattr(cluster, "cluster_cpus", lambda default=8: 1)
     assert cluster.derive_buckets() == 64            # floor
     assert cluster.join_partitions() == 2
+    assert cluster.media_pool_size() == 2
 
 
 def test_default_when_uninitialized(monkeypatch):
