@@ -45,6 +45,19 @@ def _default_repartition_blocks() -> int:
     return max(16, ncpu * 7)
 
 
+def _default_ocr_concurrency() -> int:
+    """Pool width when the caller does not size it: 7/8 of the cluster
+    CPUs (the bench-tuned ratio — the extractor dominates the pipeline,
+    the remaining 1/8 feeds the read/classify tasks and the reassembly
+    shuffle), floor 2.  A fixed default of 4 was right nowhere except a
+    small box: it oversubscribed a 4-CPU session and capped a wide
+    cluster.  Text-dominant callers should still pass a smaller pool
+    (see ``extraction_query.q_extract_documents``)."""
+    from ..functions.cluster import cluster_cpus
+
+    return max(2, (cluster_cpus() * 7) // 8)
+
+
 def extract_spans(
     ds: ray.data.Dataset,
     *,
@@ -52,13 +65,15 @@ def extract_spans(
     language: str = "eng",
     preprocess: bool = True,
     document_type: str = "general",
-    ocr_concurrency: int | tuple[int, int] = 4,
+    ocr_concurrency: int | tuple[int, int] | None = None,
     ocr_batch_size: int = 256,
     num_cpus: float = 1,
     repartition_blocks: int | None = None,
     keep_words: bool = False,
 ) -> ray.data.Dataset:
     """Documents -> extracted span rows (before reassembly)."""
+    if ocr_concurrency is None:
+        ocr_concurrency = _default_ocr_concurrency()
     ds = ds.map_batches(
         classify_and_explode, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -89,7 +104,7 @@ def extract_documents(
     language: str = "eng",
     preprocess: bool = True,
     document_type: str = "general",
-    ocr_concurrency: int | tuple[int, int] = 4,
+    ocr_concurrency: int | tuple[int, int] | None = None,
     ocr_batch_size: int = 256,
     num_cpus: float = 1,
     repartition_blocks: int | None = None,
