@@ -550,9 +550,14 @@ class AudioFeatureExtractor:
 
 
 def extract_audio_features(
-    ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 64
+    ds: ray.data.Dataset, concurrency: int | None = None, batch_size: int = 64
 ) -> ray.data.Dataset:
-    """Audio-ref table -> per-clip features via the actor pool."""
+    """Audio-ref table -> per-clip features via the actor pool.
+    ``concurrency=None`` derives the pool width from the cluster."""
+    if concurrency is None:
+        from ..functions.cluster import media_pool_size
+
+        concurrency = media_pool_size()
     return ds.map_batches(
         AudioFeatureExtractor,
         batch_format="pyarrow",

@@ -191,14 +191,20 @@ class PDFToDocuments:
 def read_pdfs(
     paths: list[str],
     dpi: int = 200,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     spool_dir: str = "/tmp/graft_pdf_spool",
 ):
     """PDF files -> documents-shaped Dataset (feed to
     ``extract_documents``).  An actor pool holds the warm fitz module;
-    one file is one row, so Ray streams/backpressures per file."""
+    one file is one row, so Ray streams/backpressures per file.
+    ``concurrency=None`` derives the pool width from the cluster CPU
+    count (rasterization is CPU-bound per file)."""
     import ray.data
 
+    if concurrency is None:
+        from ..functions.cluster import media_pool_size
+
+        concurrency = media_pool_size()
     items = [{"path": p} for p in paths]
     return ray.data.from_items(items).map_batches(
         PDFToDocuments,

@@ -91,7 +91,9 @@ def main() -> int:
         )
 
         def reader_fn(group):
-            ds = read_pdfs(group, concurrency=max(2, min(8, len(group))))
+            # pool width follows the cluster (fixed min(8,...) capped a
+            # wide cluster's rasterize stage), never exceeds the files
+            ds = read_pdfs(group)
             return ds.map_batches(
                 lambda t: t.drop_columns(["error"]), batch_format="pyarrow"
             )
