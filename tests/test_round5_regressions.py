@@ -115,3 +115,32 @@ def test_fk_audit_duplicate_parent_across_blocks(tmp_path):
     assert out.loc["lineitem->orders", "n_orphan"] == 1
     assert out.loc["orders->customer", "n_child"] == 2
     assert out.loc["orders->customer", "n_orphan"] == 0
+
+
+def test_extract_documents_derived_default_pool(ray_session, tmp_path):
+    """extract_documents with NO ocr_concurrency must derive the pool
+    from the live session and complete on a small (4-CPU) session —
+    the floor leaves headroom for the read/classify tasks and the
+    reassembly shuffle (a pool holding every core starves it)."""
+    import ray.data
+
+    from medical_and_charity_document_extraction_system_ray.fixtures import (
+        write_documents_parquet,
+    )
+    from medical_and_charity_document_extraction_system_ray.pipelines import (
+        extract_documents,
+    )
+    from medical_and_charity_document_extraction_system_ray.pipelines.extraction import (
+        _default_ocr_concurrency,
+    )
+
+    assert 2 <= _default_ocr_concurrency() <= max(
+        2, int(ray.cluster_resources()["CPU"])
+    )
+    docs = str(tmp_path / "docs.parquet")
+    write_documents_parquet(docs, 40, seed=3)
+    out = extract_documents(ray.data.read_parquet(docs)).take_all()
+    assert len(out) == 40
+    assert {r["processing_method"] for r in out} == {
+        "direct_text_extraction", "ocr_pipeline",
+    }
