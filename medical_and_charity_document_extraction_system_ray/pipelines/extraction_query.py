@@ -30,9 +30,10 @@ def q_extract_documents(sf_dir: str) -> ray.data.Dataset:
         ncpu = 8
     flat = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     # the derived corpus is text-dominant (only ~1/6 of pages OCR), so a
-    # small pool amortizes actor spawn best at gate/bench scales; cap at
-    # ncpu/4 so larger sessions still widen it
-    conc = max(2, min(8, ncpu // 4))
+    # quarter-of-the-cluster pool amortizes actor spawn best at
+    # gate/bench scales and keeps widening on larger clusters (a fixed
+    # min(8, ...) capped the stage at 8 actors)
+    conc = max(2, ncpu // 4)
     docs = flat.map_batches(flat_to_interleaved, batch_format="pyarrow")
     out = extract_documents(
         docs, ocr_concurrency=conc, ocr_batch_size=128,
