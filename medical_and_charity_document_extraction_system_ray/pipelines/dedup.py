@@ -1997,9 +1997,16 @@ def q_setsim_prefix_join(
             }
         )
 
+    # no repartition before the groupby: the exploded prefix stream is
+    # the LARGEST intermediate of this query (~40% of all shingle
+    # occurrences), the groupby below already hash-shuffles it, and a
+    # repartition here would move that stream all-to-all TWICE.
+    # Map-side parallelism equals the upstream block count, which
+    # tracks corpus size — interleaved A/B at sf0.1 measured the
+    # repartition as a wash (min-of-4: 2.16 s with vs 2.22 s without)
     prefix_rows = sets.map_batches(
         emit_prefix, batch_format="pyarrow", zero_copy_batch=True
-    ).repartition(max(2, nb // 2))
+    )
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
