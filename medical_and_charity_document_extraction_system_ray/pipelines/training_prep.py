@@ -310,8 +310,15 @@ def q_decontaminate(sf_dir: str, n: int = 4, holdout_mod: int = 97) -> ray.data.
                 }
             )
 
+    # autoscaling probe pool with a cluster-derived ceiling: a fixed
+    # (1, 4) capped the membership probe at 4 actors on wide clusters
+    # (the same flaw as the fixed bucket widths); CPUs//4 leaves the
+    # rest of the session to the producer scan, floor 2 so the small
+    # pytest session still overlaps probe with read
+    from ..functions.cluster import media_pool_size
+
     return ds.map_batches(Probe, batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 4))
+                          concurrency=(1, media_pool_size()))
 
 
 Q_DECON_SQL = r"""
