@@ -24,6 +24,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def resolve_ray_init_kwargs(
+    address: str | None = None, num_cpus: int = 0, env=os.environ
+) -> dict:
+    """ray.init kwargs for the job driver.  Joins the cluster named by
+    --address / $RAY_ADDRESS (``ray job submit`` exports the latter —
+    a hardcoded address="local" would boot a fresh SINGLE-NODE Ray
+    inside the job and leave the multi-node cluster idle); empty/unset
+    falls back to local mode.  num_cpus / include_dashboard are
+    local-mode-only kwargs (ray.init rejects them when connecting to
+    an existing cluster)."""
+    addr = address or env.get("RAY_ADDRESS") or "local"
+    kwargs = dict(address=addr, ignore_reinit_error=True,
+                  logging_level="ERROR")
+    if addr == "local":
+        kwargs["include_dashboard"] = False
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+    return kwargs
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="input parquet file/glob/dir")
@@ -37,7 +57,11 @@ def main() -> int:
                     help="OCR actor pool size (default: 3/4 of CPUs)")
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--num-cpus", type=int, default=0,
-                    help="ray session CPUs (default: all)")
+                    help="ray session CPUs (default: all; local mode only)")
+    ap.add_argument("--address", default=None,
+                    help="ray cluster address (default: $RAY_ADDRESS or "
+                         "'local'; under `ray job submit` the submitter "
+                         "exports RAY_ADDRESS so the job joins the cluster)")
     ap.add_argument("--gc-stale", action="store_true",
                     help="remove stale part-*.tmp dirs before running")
     ap.add_argument("--format", default="parquet", choices=["parquet", "lance"],
@@ -46,12 +70,8 @@ def main() -> int:
 
     import ray
 
-    init_kwargs = dict(address="local", include_dashboard=False,
-                       ignore_reinit_error=True, logging_level="ERROR")
-    if args.num_cpus:
-        init_kwargs["num_cpus"] = args.num_cpus
     if not ray.is_initialized():
-        ray.init(**init_kwargs)
+        ray.init(**resolve_ray_init_kwargs(args.address, args.num_cpus))
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False

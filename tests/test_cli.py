@@ -43,3 +43,35 @@ def test_cli_run_and_resume(tmp_path):
     assert second["executed"] == []                     # nothing recomputed
     assert second["skipped"] == first["executed"]       # every partition resumes
     assert second["rows_total"] == 60                   # output unchanged
+
+
+def test_cli_joins_cluster_from_ray_address():
+    """Under ``ray job submit`` the submitter exports RAY_ADDRESS; the
+    CLI must JOIN that cluster rather than silently booting a fresh
+    single-node Ray inside the job driver (which would leave a
+    multi-node cluster idle).  Resolution is a pure function -- pin
+    every branch without paying a GCS connection timeout."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_extraction", os.path.join(REPO, "scripts", "run_extraction.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    resolve = mod.resolve_ray_init_kwargs
+
+    # job-submit shape: RAY_ADDRESS exported -> join that cluster, and
+    # no local-only kwargs leak into the connect call
+    kw = resolve(None, 8, env={"RAY_ADDRESS": "10.0.0.5:6379"})
+    assert kw["address"] == "10.0.0.5:6379"
+    assert "num_cpus" not in kw and "include_dashboard" not in kw
+
+    # explicit --address beats the environment
+    kw = resolve("auto", 0, env={"RAY_ADDRESS": "10.0.0.5:6379"})
+    assert kw["address"] == "auto"
+
+    # unset OR empty RAY_ADDRESS -> local mode with the local-only kwargs
+    for env in ({}, {"RAY_ADDRESS": ""}):
+        kw = resolve(None, 4, env=env)
+        assert kw["address"] == "local"
+        assert kw["num_cpus"] == 4 and kw["include_dashboard"] is False
